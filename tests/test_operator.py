@@ -1,0 +1,83 @@
+"""Matrix-free Laplace operator vs dense golden assembly (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+from portable_multigrid_tpu.fem.space import FESpace
+from portable_multigrid_tpu.fem.assemble import dense_operator
+from portable_multigrid_tpu.ops.laplace import make_laplace
+
+
+CASES = [
+    (1, 1, 3),
+    (1, 4, 2),
+    (2, 1, 2),
+    (2, 2, 2),
+    (2, 5, 1),
+    (3, 1, 1),
+    (3, 2, 1),
+    (3, 3, 1),
+    (3, 4, 1),
+]
+
+
+@pytest.mark.parametrize("dim,p,r", CASES)
+def test_vmult_matches_dense(dim, p, r):
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    A = dense_operator(sp)
+    op = make_laplace(sp)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(sp.grid_shape)
+    got = np.asarray(op.apply(u)).reshape(-1)
+    want = A @ u.reshape(-1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("dim,p,r", CASES)
+def test_diagonal_matches_dense(dim, p, r):
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    A = dense_operator(sp)
+    op = make_laplace(sp)
+    got = np.asarray(op.diagonal()).reshape(-1)
+    np.testing.assert_allclose(got, np.diag(A), rtol=1e-13)
+
+
+@pytest.mark.parametrize("dim,p,r", [(2, 3, 2), (3, 2, 1)])
+def test_operator_symmetry(dim, p, r):
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    op = make_laplace(sp)
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal(sp.grid_shape)
+    v = rng.standard_normal(sp.grid_shape)
+    lhs = np.vdot(np.asarray(op.apply(u)), v)
+    rhs = np.vdot(u, np.asarray(op.apply(v)))
+    assert lhs == pytest.approx(rhs, rel=1e-13)
+
+
+@pytest.mark.parametrize("dim,p,r", [(2, 2, 2), (3, 3, 1)])
+def test_constrained_rows_identity(dim, p, r):
+    """Constrained (Dirichlet) DoFs: dst = src (copy_constrained_values,
+    reference: include/operators/portable_laplace_operator.h:718)."""
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    op = make_laplace(sp)
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(sp.grid_shape)
+    au = np.asarray(op.apply(u))
+    m = sp.free_mask()
+    np.testing.assert_allclose(au[m == 0], u[m == 0], atol=0)
+
+
+def test_nullspace_of_constant_on_interior():
+    """A applied to the constant-1 vector on an unconstrained... structured
+    check: for the interior of a large mesh, A @ 1 has zero entries at DoFs
+    whose full stencil is interior (the Laplacian of a constant)."""
+    sp = FESpace(HyperCubeMesh(2, 3), 2)
+    op = make_laplace(sp)
+    u = np.ones(sp.grid_shape)
+    au = np.asarray(op.apply(u))
+    # DoFs at least one full cell away from the boundary see only the
+    # constant: rows sum to zero there.
+    p = sp.degree
+    inner = au[2 * p : -2 * p, 2 * p : -2 * p]
+    np.testing.assert_allclose(inner, 0.0, atol=1e-12)
