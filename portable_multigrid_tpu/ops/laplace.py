@@ -50,7 +50,7 @@ class LaplaceOperator:
 
     dim: int = static_field()
     degree: int = static_field()
-    n: int = static_field()  # cells per axis
+    n: tuple = static_field()  # cells per axis (tuple; differ on sharded slabs)
     B: jnp.ndarray = None  # [nq, p+1] shape values at quad points
     Dco: jnp.ndarray = None  # [nq, nq] collocation derivative
     qmetric: jnp.ndarray = None  # [nq]*dim tensor: w_q ⊗ ... ⊗ w_q * h^(dim-2)
@@ -60,13 +60,14 @@ class LaplaceOperator:
     # -- shapes -----------------------------------------------------------
     @property
     def grid_shape(self) -> tuple[int, ...]:
-        N = self.n * self.degree + 1
-        return (N,) * self.dim
+        return tuple(nd * self.degree + 1 for nd in self.n)
 
     @property
     def n_dofs(self) -> int:
-        N = self.n * self.degree + 1
-        return N**self.dim
+        out = 1
+        for s in self.grid_shape:
+            out *= s
+        return out
 
     def zero_vector(self) -> jnp.ndarray:
         return jnp.zeros(self.grid_shape, self.B.dtype)
@@ -105,6 +106,16 @@ class LaplaceOperator:
             r = jnp.moveaxis(r, -1, ax)
         return r
 
+    def apply_bilinear(self, um: jnp.ndarray) -> jnp.ndarray:
+        """Gather -> element apply -> scatter, WITHOUT the constraint masks.
+
+        The sharded operator wraps this with a halo plane exchange before
+        applying the masks (parallel/sharding.py).
+        """
+        ue = split_all(um, self.dim, self.n, self.degree)
+        r = self.apply_local(ue)
+        return overlap_add_all(r, self.dim, self.n, self.degree)
+
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """Full vmult with constrained-DoF semantics: A_eff = M A M + (I - M).
 
@@ -112,10 +123,7 @@ class LaplaceOperator:
         (include/operators/portable_laplace_operator.h:557-719).
         """
         u = u.reshape(self.grid_shape)
-        um = u * self.mask
-        ue = split_all(um, self.dim, self.n, self.degree)
-        r = self.apply_local(ue)
-        au = overlap_add_all(r, self.dim, self.n, self.degree)
+        au = self.apply_bilinear(u * self.mask)
         return self.mask * au + (1.0 - self.mask) * u
 
     # vmult alias mirroring the reference naming
@@ -175,7 +183,7 @@ def make_laplace(space: FESpace, dtype=jnp.float64) -> LaplaceOperator:
     return LaplaceOperator(
         dim=dim,
         degree=space.degree,
-        n=space.mesh.cells_per_axis,
+        n=(space.mesh.cells_per_axis,) * dim,
         B=jnp.asarray(b.B, dtype),
         Dco=jnp.asarray(b.Dco, dtype),
         qmetric=jnp.asarray(qm, dtype),

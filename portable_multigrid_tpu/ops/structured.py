@@ -72,18 +72,23 @@ def contract(t: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
-def split_all(u: jnp.ndarray, dim: int, n: int, stride: int) -> jnp.ndarray:
-    """Split every grid axis: [N]*dim -> interleaved [n, s+1]*dim layout.
+def split_all(
+    u: jnp.ndarray, dim: int, n: tuple[int, ...], stride: int
+) -> jnp.ndarray:
+    """Split every grid axis: [n_d*s+1]*dim -> interleaved [n_d, s+1] layout.
 
+    ``n`` gives the cell count per axis (they differ on sharded slabs).
     Cell axes land at even positions (0, 2, 4), DoF axes at odd (1, 3, 5).
     """
     for d in range(dim):
-        u = split_windows(u, 2 * d, n, stride)
+        u = split_windows(u, 2 * d, n[d], stride)
     return u
 
 
-def overlap_add_all(v: jnp.ndarray, dim: int, n: int, stride: int) -> jnp.ndarray:
+def overlap_add_all(
+    v: jnp.ndarray, dim: int, n: tuple[int, ...], stride: int
+) -> jnp.ndarray:
     """Inverse of :func:`split_all` (with summation on shared points)."""
     for d in reversed(range(dim)):
-        v = overlap_add(v, 2 * d, n, stride)
+        v = overlap_add(v, 2 * d, n[d], stride)
     return v

@@ -48,22 +48,22 @@ class Transfer:
     """Two-level transfer on structured grids (covers h- and p-coarsening)."""
 
     dim: int = static_field()
-    n_coarse: int = static_field()  # coarse cells per axis
+    n_coarse: tuple = static_field()  # coarse cells per axis (tuple)
     stride_c: int = static_field()  # p_coarse
     stride_f: int = static_field()  # 2p (h) or p_fine (p)
     M1: jnp.ndarray = None  # [stride_f+1, stride_c+1] 1D prolongation
-    wmask_f: jnp.ndarray = None  # [N_f] per-axis fine weights * fine mask
-    mask_c1: jnp.ndarray = None  # [N_c] per-axis coarse mask factor
+    wmask_f: tuple = None  # per-axis [N_f] fine weights * fine mask factors
+    mask_c1: tuple = None  # per-axis [N_c] coarse mask factors
 
-    def _wf(self, shape_pos: int) -> jnp.ndarray:
+    def _wf(self, ax: int) -> jnp.ndarray:
         shp = [1] * self.dim
-        shp[shape_pos] = self.wmask_f.shape[0]
-        return self.wmask_f.reshape(shp)
+        shp[ax] = self.wmask_f[ax].shape[0]
+        return self.wmask_f[ax].reshape(shp)
 
-    def _mc(self, shape_pos: int) -> jnp.ndarray:
+    def _mc(self, ax: int) -> jnp.ndarray:
         shp = [1] * self.dim
-        shp[shape_pos] = self.mask_c1.shape[0]
-        return self.mask_c1.reshape(shp)
+        shp[ax] = self.mask_c1[ax].shape[0]
+        return self.mask_c1[ax].reshape(shp)
 
     def prolongate(self, c: jnp.ndarray) -> jnp.ndarray:
         """P c: coarse grid -> fine grid (both masked, fine side weighted)."""
@@ -71,9 +71,9 @@ class Transfer:
         for ax in range(self.dim):
             t = t * self._mc(ax)  # constrained coarse DoFs read zero
         for ax in range(self.dim):
-            t = split_windows(t, ax, self.n_coarse, self.stride_c)
+            t = split_windows(t, ax, self.n_coarse[ax], self.stride_c)
             t = contract(t, self.M1, ax + 1)
-            t = overlap_add(t, ax, self.n_coarse, self.stride_f)
+            t = overlap_add(t, ax, self.n_coarse[ax], self.stride_f)
             t = t * self._wf(ax)
         return t
 
@@ -87,11 +87,11 @@ class Transfer:
         for ax in range(self.dim):
             t = t * self._wf(ax)  # weights BEFORE the contraction
         for ax in range(self.dim):
-            t = split_windows(t, ax, self.n_coarse, self.stride_f)
+            t = split_windows(t, ax, self.n_coarse[ax], self.stride_f)
             t = jnp.moveaxis(
                 jnp.tensordot(t, self.M1, axes=((ax + 1,), (0,))), -1, ax + 1
             )
-            t = overlap_add(t, ax, self.n_coarse, self.stride_c)
+            t = overlap_add(t, ax, self.n_coarse[ax], self.stride_c)
             t = t * self._mc(ax)  # masked scatter on constrained coarse DoFs
         return t
 
@@ -118,16 +118,17 @@ def make_h_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float64) -> Transf
         raise ValueError("fine mesh must be one refinement of the coarse mesh")
     p = coarse.degree
     n_c = coarse.mesh.cells_per_axis
+    dim = coarse.dim
     M1 = h_prolongation_matrix_1d(p)  # [2p+1, p+1]
     w = _weights_1d(n_c, 2 * p) * fine.free_mask_1d()
     return Transfer(
-        dim=coarse.dim,
-        n_coarse=n_c,
+        dim=dim,
+        n_coarse=(n_c,) * dim,
         stride_c=p,
         stride_f=2 * p,
         M1=jnp.asarray(M1, dtype),
-        wmask_f=jnp.asarray(w, dtype),
-        mask_c1=jnp.asarray(coarse.free_mask_1d(), dtype),
+        wmask_f=(jnp.asarray(w, dtype),) * dim,
+        mask_c1=(jnp.asarray(coarse.free_mask_1d(), dtype),) * dim,
     )
 
 
@@ -136,14 +137,15 @@ def make_p_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float64) -> Transf
     if coarse.mesh.cells_per_axis != fine.mesh.cells_per_axis:
         raise ValueError("p-transfer requires the same mesh")
     n = coarse.mesh.cells_per_axis
+    dim = coarse.dim
     M1 = p_prolongation_matrix_1d(coarse.degree, fine.degree)
     w = _weights_1d(n, fine.degree) * fine.free_mask_1d()
     return Transfer(
-        dim=coarse.dim,
-        n_coarse=n,
+        dim=dim,
+        n_coarse=(n,) * dim,
         stride_c=coarse.degree,
         stride_f=fine.degree,
         M1=jnp.asarray(M1, dtype),
-        wmask_f=jnp.asarray(w, dtype),
-        mask_c1=jnp.asarray(coarse.free_mask_1d(), dtype),
+        wmask_f=(jnp.asarray(w, dtype),) * dim,
+        mask_c1=(jnp.asarray(coarse.free_mask_1d(), dtype),) * dim,
     )

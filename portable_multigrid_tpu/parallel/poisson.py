@@ -1,0 +1,287 @@
+"""Sharded multigrid Poisson solver over a jax.sharding.Mesh.
+
+The multi-chip counterpart of models/poisson.py: the full solve (CG +
+V-cycle + smoothers + transfers + operator) runs inside ONE ``jax.shard_map``
+region over a 1D device mesh, with cell slabs sharded along grid axis 0 and
+single-plane halos exchanged via ppermute (parallel/sharding.py).  This is
+the TPU-native analog of running the reference drivers under ``mpirun -n N``
+with deal.II's distributed triangulation (reference:
+source/geometric_multigrid/program.cc:73-75,124-132,452).
+
+Level layout: every level is sharded; the coarsest level therefore needs at
+least one cell slab per shard, so the hierarchy bottoms out at
+cells_per_axis == n_shards (log2(n_shards) refinements) instead of the
+1-cell base mesh.  (Replicating ultra-coarse levels below that threshold is
+a possible extension; the reference never coarsens below its MPI
+partitioning granularity either.)
+
+Smoother eigenvalue bounds are estimated at setup on a single-device twin of
+each level operator — the sharded operator is mathematically identical, so
+the bounds transfer exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..fem.assemble import assemble_rhs, l2_norm
+from ..fem.mesh import HyperCubeMesh
+from ..fem.space import FESpace
+from ..ops.laplace import LaplaceOperator, _diagonal_grid, make_laplace
+from ..ops.transfer import (
+    Transfer,
+    _weights_1d,
+    make_h_transfer,
+)
+from ..fem.basis import h_prolongation_matrix_1d
+from ..solvers.cg import cg
+from ..solvers.chebyshev import Chebyshev, chebyshev_bounds, estimate_eigenvalues, \
+    _pseudo_random_grid
+from ..solvers.vcycle import MGLevel, VCycle
+from .sharding import (
+    ShardedLaplaceOperator,
+    ShardedTransfer,
+    dot_weights_axis0,
+    make_sharded_dot,
+    partition_axis0,
+    unpartition_axis0,
+)
+
+AXIS = "x"
+
+
+def _tile(arr, S, dtype):
+    a = jnp.asarray(np.asarray(arr), dtype)
+    return jnp.broadcast_to(a[None], (S,) + a.shape)
+
+
+def _build_stacked_operator(space: FESpace, S: int, dtype) -> LaplaceOperator:
+    """LaplaceOperator pytree whose leaves carry a leading shard axis."""
+    b = space.basis
+    dim = space.dim
+    n = space.mesh.cells_per_axis
+    p = space.degree
+    qm = np.array(1.0)
+    for _ in range(dim):
+        qm = np.multiply.outer(qm, b.q_weights)
+    qm = qm * space.mesh.h ** (dim - 2)
+    mask = space.free_mask()
+    diag = _diagonal_grid(space)
+    return LaplaceOperator(
+        dim=dim,
+        degree=p,
+        n=(n // S,) + (n,) * (dim - 1),
+        B=_tile(b.B, S, dtype),
+        Dco=_tile(b.Dco, S, dtype),
+        qmetric=_tile(qm, S, dtype),
+        mask=jnp.asarray(partition_axis0(mask, n, p, S), dtype),
+        inv_diag=jnp.asarray(partition_axis0(1.0 / diag, n, p, S), dtype),
+    )
+
+
+def _build_stacked_h_transfer(
+    coarse: FESpace, fine: FESpace, S: int, dtype
+) -> Transfer:
+    p = coarse.degree
+    n_c = coarse.mesh.cells_per_axis
+    dim = coarse.dim
+    M1 = h_prolongation_matrix_1d(p)
+    wf_full = _weights_1d(n_c, 2 * p) * fine.free_mask_1d()
+    mc_full = coarse.free_mask_1d()
+    wf0 = partition_axis0(wf_full, 2 * n_c, p, S)  # fine grid axis 0 slabs
+    mc0 = partition_axis0(mc_full, n_c, p, S)
+    wmask_f = (jnp.asarray(wf0, dtype),) + (_tile(wf_full, S, dtype),) * (dim - 1)
+    mask_c1 = (jnp.asarray(mc0, dtype),) + (_tile(mc_full, S, dtype),) * (dim - 1)
+    return Transfer(
+        dim=dim,
+        n_coarse=(n_c // S,) + (n_c,) * (dim - 1),
+        stride_c=p,
+        stride_f=2 * p,
+        M1=_tile(M1, S, dtype),
+        wmask_f=wmask_f,
+        mask_c1=mask_c1,
+    )
+
+
+def _unstack(tree):
+    """Drop the leading (sharded, now size-1) axis from every leaf."""
+    return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+@dataclasses.dataclass
+class ShardedSolveStats:
+    iterations: int
+    residual_norm: float
+    converged: bool
+    solution_l2_norm: float
+    n_dofs: int
+    n_shards: int
+    dofs_per_level: list
+
+
+class ShardedGeometricPoisson:
+    """h-multigrid Poisson solve sharded over a 1D device mesh."""
+
+    def __init__(
+        self,
+        dim: int,
+        degree: int,
+        refinements: int,
+        devices=None,
+        dtype=jnp.float64,
+    ):
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        S = len(self.devices)
+        if S & (S - 1):
+            raise ValueError("n_devices must be a power of two")
+        self.n_shards = S
+        self.dtype = dtype
+        self.dim = dim
+        self.degree = degree
+
+        min_ref = max(int(math.ceil(math.log2(max(S, 1)))), 0)
+        if refinements < min_ref:
+            raise ValueError(
+                f"need >= {min_ref} refinements to give every one of {S} shards a cell slab"
+            )
+        self.spaces = [
+            FESpace(HyperCubeMesh(dim, r), degree)
+            for r in range(min_ref, refinements + 1)
+        ]
+        self.mesh = Mesh(np.array(self.devices), (AXIS,))
+
+        # --- stacked level pytrees + eigenvalue bounds from global twins ---
+        levels = []
+        for i, sp in enumerate(self.spaces):
+            op_stacked = _build_stacked_operator(sp, S, dtype)
+            twin = make_laplace(sp, dtype)
+            if i == 0:
+                n_iter = min(sp.n_dofs, 128)
+                rng_v = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
+                mn, mx = estimate_eigenvalues(
+                    twin, twin.inv_diag, n_iter, jnp.asarray(rng_v, dtype)
+                )
+                alpha, beta, deg = chebyshev_bounds(mn, mx, 1e-3, None)
+            else:
+                rng_v = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
+                mn, mx = estimate_eigenvalues(
+                    twin, twin.inv_diag, 10, jnp.asarray(rng_v, dtype)
+                )
+                alpha, beta, deg = chebyshev_bounds(mn, mx, 15.0, 5)
+            smoother = Chebyshev(
+                degree=deg,
+                op=None,  # wired to the sharded operator inside shard_map
+                inv_diag=op_stacked.inv_diag,
+                theta=_tile(np.full((), (beta + alpha) / 2.0), S, dtype),
+                delta=_tile(np.full((), (beta - alpha) / 2.0), S, dtype),
+            )
+            transfer = (
+                _build_stacked_h_transfer(self.spaces[i - 1], sp, S, dtype)
+                if i > 0
+                else None
+            )
+            levels.append(MGLevel(op=op_stacked, smoother=smoother, transfer=transfer))
+        self.levels_stacked = tuple(levels)
+
+        fine = self.spaces[-1]
+        self.dot_w = jnp.asarray(
+            dot_weights_axis0(fine.mesh.cells_per_axis, degree, S), dtype
+        )
+        self._solve_jit = None
+
+    # ------------------------------------------------------------------
+    def _assemble_local(self, levels_stacked):
+        """Inside shard_map: strip the shard axis and wire sharded wrappers."""
+        S = self.n_shards
+        out = []
+        for lvl in levels_stacked:
+            op_loc = _unstack(lvl.op)
+            sop = ShardedLaplaceOperator(axis_name=AXIS, n_shards=S, local=op_loc)
+            sm_st = lvl.smoother
+            sm = Chebyshev(
+                degree=sm_st.degree,
+                op=sop,
+                inv_diag=sm_st.inv_diag[0],
+                theta=sm_st.theta[0],
+                delta=sm_st.delta[0],
+            )
+            tr = (
+                ShardedTransfer(
+                    axis_name=AXIS, n_shards=S, local=_unstack(lvl.transfer)
+                )
+                if lvl.transfer is not None
+                else None
+            )
+            out.append(MGLevel(op=sop, smoother=sm, transfer=tr))
+        return tuple(out)
+
+    def _make_solve(self, rtol: float, pre: int, post: int):
+        def solve_local(levels_stacked, rhs_st, dot_w_st):
+            levels = self._assemble_local(levels_stacked)
+            rhs = rhs_st[0]
+            dot = make_sharded_dot(dot_w_st[0], self.dim, AXIS)
+            mg = VCycle(
+                pre_smoothing_steps=pre, post_smoothing_steps=post, levels=levels
+            )
+            res = cg(levels[-1].op.apply, rhs, mg.apply, rtol=rtol, dot=dot)
+            return res.x[None], res.iterations, res.residual_norm, res.converged
+
+        sharded = jax.shard_map(
+            solve_local,
+            mesh=self.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def solve(
+        self,
+        rtol: float = 1e-12,
+        pre_smoothing_steps: int = 2,
+        post_smoothing_steps: int = 2,
+        verbose: bool = False,
+    ):
+        fine = self.spaces[-1]
+        S = self.n_shards
+        rhs = assemble_rhs(fine)
+        rhs_st = jnp.asarray(
+            partition_axis0(rhs, fine.mesh.cells_per_axis, self.degree, S),
+            self.dtype,
+        )
+        if self._solve_jit is None:
+            self._solve_jit = self._make_solve(
+                rtol, pre_smoothing_steps, post_smoothing_steps
+            )
+        x_st, iters, resnorm, converged = self._solve_jit(
+            self.levels_stacked, rhs_st, self.dot_w
+        )
+        x = unpartition_axis0(
+            np.asarray(x_st), fine.mesh.cells_per_axis, self.degree, S
+        )
+        stats = ShardedSolveStats(
+            iterations=int(iters),
+            residual_norm=float(resnorm),
+            converged=bool(converged),
+            solution_l2_norm=l2_norm(fine, x),
+            n_dofs=fine.n_dofs,
+            n_shards=S,
+            dofs_per_level=[sp.n_dofs for sp in self.spaces],
+        )
+        if verbose:
+            print(
+                f" Number of degrees of freedom: {stats.n_dofs} over {S} shards "
+                f"(by level: {', '.join(str(d) for d in stats.dofs_per_level)})"
+            )
+            print(f"  Solver converged in {stats.iterations} iterations.")
+            print(f"  solution norm: {stats.solution_l2_norm:.6g}")
+        return x, stats

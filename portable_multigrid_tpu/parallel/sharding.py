@@ -1,0 +1,177 @@
+"""Multi-chip sharding: halo plane exchange + sharded operator/transfer wrappers.
+
+TPU-native replacement for the reference's MPI domain decomposition
+(SURVEY.md §2.3 item 1): deal.II partitions cells across ranks and exchanges
+ghost DoFs on reads (``update_ghost_values``) and owner-sums boundary
+contributions on writes (``compress(add)``) around every operator/transfer
+apply (reference: include/operators/portable_laplace_operator.h:635-657,713;
+include/multigrid/portable_geometric_transfer.h:779-818).
+
+Here the DoF grid is sliced into cell slabs along grid axis 0, one slab per
+chip, with the single shared DoF plane between neighboring slabs stored
+*duplicated and consistent* on both.  Then:
+
+  * elementwise ops (masks, Chebyshev recurrences, axpys) need no
+    communication at all — duplicates stay consistent by construction;
+  * every scatter-producing op (operator apply, prolongation, restriction)
+    is the local structured kernel followed by ONE bidirectional plane
+    exchange (`halo_sum`: each chip ppermutes its partial boundary planes to
+    its neighbors and adds what it receives) — this fuses deal.II's
+    update_ghost_values + compress(add) pair into a single nearest-neighbor
+    collective that XLA schedules asynchronously over ICI;
+  * inner products weight the duplicated planes by 1/2 and psum — the analog
+    of deal.II's owned-dof dot + MPI_Allreduce.
+
+Everything runs inside one ``jax.shard_map`` region over a 1D device mesh;
+the wrappers below are pytrees, so whole multigrid hierarchies of them pass
+through jit unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.laplace import LaplaceOperator
+from ..ops.transfer import Transfer
+from ..utils.pytree import pytree_dataclass, static_field
+
+
+def halo_sum(t: jnp.ndarray, axis_name: str, n_shards: int) -> jnp.ndarray:
+    """Sum duplicated boundary-plane contributions with both neighbors.
+
+    t is the local slab [N_loc, ...]; plane 0 is shared with the left
+    neighbor's plane -1 and vice versa.  Non-existent neighbors contribute
+    zeros (ppermute semantics).
+    """
+    if n_shards == 1:
+        return t
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    from_left = jax.lax.ppermute(t[-1:], axis_name, fwd)
+    from_right = jax.lax.ppermute(t[:1], axis_name, bwd)
+    return t.at[:1].add(from_left).at[-1:].add(from_right)
+
+
+@pytree_dataclass
+class ShardedLaplaceOperator:
+    """Laplace operator on a slab-sharded grid: local kernel + halo_sum.
+
+    The constraint-mask combine runs after the halo (masks are consistent on
+    duplicated planes), preserving the reference's A_eff = M A M + (I - M)
+    semantics globally.
+    """
+
+    axis_name: str = static_field()
+    n_shards: int = static_field()
+    local: LaplaceOperator = None
+
+    @property
+    def inv_diag(self):
+        return self.local.inv_diag
+
+    @property
+    def mask(self):
+        return self.local.mask
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        loc = self.local
+        u = u.reshape(loc.grid_shape)
+        au = loc.apply_bilinear(u * loc.mask)
+        au = halo_sum(au, self.axis_name, self.n_shards)
+        return loc.mask * au + (1.0 - loc.mask) * u
+
+    vmult = apply
+
+
+@pytree_dataclass
+class ShardedTransfer:
+    """Two-level transfer on slab-sharded grids: local transfer + halo_sum.
+
+    Both prolongation and restriction end in an axis-0 overlap-add whose
+    shard-boundary contributions are completed by one plane exchange; the
+    separable weight/mask multiplies commute with the halo because they are
+    consistent on duplicated planes.
+    """
+
+    axis_name: str = static_field()
+    n_shards: int = static_field()
+    local: Transfer = None
+
+    def prolongate(self, c: jnp.ndarray) -> jnp.ndarray:
+        return halo_sum(self.local.prolongate(c), self.axis_name, self.n_shards)
+
+    def prolongate_and_add(self, dst: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        return dst + self.prolongate(c)
+
+    def restrict(self, f: jnp.ndarray) -> jnp.ndarray:
+        return halo_sum(self.local.restrict(f), self.axis_name, self.n_shards)
+
+    def restrict_and_add(self, dst: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+        return dst + self.restrict(f)
+
+
+def make_sharded_dot(dot_weight_axis0: jnp.ndarray, dim: int, axis_name: str):
+    """Duplicate-plane-weighted inner product with psum over the mesh axis.
+
+    dot_weight_axis0: [N_loc] with 0.5 on planes duplicated with a neighbor,
+    1.0 elsewhere.  The analog of deal.II's owned-partition dot followed by
+    the implicit MPI allreduce (SURVEY.md §5, distributed backend).
+    """
+    w = dot_weight_axis0.reshape((-1,) + (1,) * (dim - 1))
+
+    def dot(a: jnp.ndarray, b: jnp.ndarray):
+        return jax.lax.psum(jnp.vdot(a * w, b), axis_name)
+
+    return dot
+
+
+# --------------------------------------------------------------------------
+# host-side partitioning helpers
+# --------------------------------------------------------------------------
+
+
+def slab_bounds(n_cells: int, degree: int, n_shards: int):
+    """Grid index ranges [start, stop) per shard, including the duplicated
+    boundary planes (stop - start = n_loc * p + 1)."""
+    if n_cells % n_shards != 0:
+        raise ValueError(
+            f"cells per axis ({n_cells}) must be divisible by n_shards ({n_shards})"
+        )
+    n_loc = n_cells // n_shards
+    return [
+        (s * n_loc * degree, (s + 1) * n_loc * degree + 1) for s in range(n_shards)
+    ]
+
+
+def partition_axis0(arr, n_cells: int, degree: int, n_shards: int):
+    """Stack per-shard slabs of a global grid array: [N, ...] -> [S, N_loc, ...]."""
+    import numpy as np
+
+    bounds = slab_bounds(n_cells, degree, n_shards)
+    return np.stack([np.asarray(arr)[b0:b1] for (b0, b1) in bounds])
+
+
+def unpartition_axis0(stacked, n_cells: int, degree: int, n_shards: int):
+    """Invert partition_axis0 (duplicated planes taken from the left owner)."""
+    import numpy as np
+
+    parts = [np.asarray(stacked[s])[:-1] for s in range(n_shards - 1)]
+    parts.append(np.asarray(stacked[n_shards - 1]))
+    return np.concatenate(parts, axis=0)
+
+
+def dot_weights_axis0(n_cells: int, degree: int, n_shards: int):
+    """Per-shard [S, N_loc] reduction weights: 0.5 on duplicated planes."""
+    import numpy as np
+
+    bounds = slab_bounds(n_cells, degree, n_shards)
+    out = []
+    for s, (b0, b1) in enumerate(bounds):
+        w = np.ones(b1 - b0)
+        if s > 0:
+            w[0] = 0.5
+        if s < n_shards - 1:
+            w[-1] = 0.5
+        out.append(w)
+    return np.stack(out)

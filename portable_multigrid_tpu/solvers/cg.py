@@ -36,25 +36,33 @@ def cg(
     atol: float = 0.0,
     max_iter: int | None = None,
     x0: jnp.ndarray | None = None,
+    dot: Callable | None = None,
 ) -> CGResult:
     """Solve A x = b with preconditioned CG.
 
     Stopping: ||r||_2 <= max(rtol * ||b||_2, atol), checked after each update,
     mirroring the reference's SolverControl(size, 1e-12 * rhs.l2_norm())
     (reference: source/geometric_multigrid/program.cc:345-346).
+
+    ``dot`` overrides the inner product — the sharded solver passes a
+    duplicate-plane-weighted, psum-reduced dot (parallel/sharding.py), the
+    analog of the implicit MPI allreduce in deal.II vector dots (SURVEY.md §5).
     """
     if M is None:
         M = lambda v: v
     if max_iter is None:
         max_iter = b.size
+    if dot is None:
+        dot = _dot
+    norm = lambda v: jnp.sqrt(dot(v, v))
     x = jnp.zeros_like(b) if x0 is None else x0
 
     r = b - A(x) if x0 is not None else b
-    threshold = jnp.maximum(rtol * jnp.linalg.norm(b.ravel()), atol)
-    res0 = jnp.linalg.norm(r.ravel())
+    threshold = jnp.maximum(rtol * norm(b), atol)
+    res0 = norm(r)
 
     z = M(r)
-    rz = _dot(r, z)
+    rz = dot(r, z)
 
     def cond(state):
         x, r, p, rz, it, res = state
@@ -63,12 +71,12 @@ def cg(
     def body(state):
         x, r, p, rz, it, res = state
         Ap = A(p)
-        alpha = rz / _dot(p, Ap)
+        alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        res = jnp.linalg.norm(r.ravel())
+        res = norm(r)
         z = M(r)
-        rz_new = _dot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, p, rz_new, it + 1, res)

@@ -1,0 +1,125 @@
+"""Multi-chip sharding tests on the virtual CPU device mesh (conftest: 8 devices).
+
+The TPU-native analog of the reference's "same binary under mpirun -n N"
+story (SURVEY.md §4): sharded results must match the single-device solver to
+roundoff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+from portable_multigrid_tpu.fem.space import FESpace
+from portable_multigrid_tpu.ops.laplace import make_laplace
+from portable_multigrid_tpu.parallel.poisson import (
+    ShardedGeometricPoisson,
+    _build_stacked_operator,
+    _unstack,
+    AXIS,
+)
+from portable_multigrid_tpu.parallel.sharding import (
+    ShardedLaplaceOperator,
+    dot_weights_axis0,
+    make_sharded_dot,
+    partition_axis0,
+    unpartition_axis0,
+)
+from portable_multigrid_tpu.models.poisson import GeometricMultigridPoisson
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), (AXIS,))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_apply_matches_single_device(n_dev):
+    dim, p, r = 3, 2, 3
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    op = make_laplace(sp)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(sp.grid_shape)
+    want = np.asarray(op.apply(u))
+
+    op_st = _build_stacked_operator(sp, n_dev, jnp.float64)
+    u_st = jnp.asarray(partition_axis0(u, sp.mesh.cells_per_axis, p, n_dev))
+
+    def f(op_stacked, u_stacked):
+        sop = ShardedLaplaceOperator(
+            axis_name=AXIS, n_shards=n_dev, local=_unstack(op_stacked)
+        )
+        return sop.apply(u_stacked[0])[None]
+
+    got_st = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=_mesh(n_dev),
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )(op_st, u_st)
+    got = unpartition_axis0(np.asarray(got_st), sp.mesh.cells_per_axis, p, n_dev)
+    np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
+    # and the duplicated planes are consistent on both owners
+    for s in range(n_dev - 1):
+        np.testing.assert_array_equal(
+            np.asarray(got_st)[s][-1], np.asarray(got_st)[s + 1][0]
+        )
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_dot_matches_global(n_dev):
+    dim, p, r = 2, 3, 3
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(sp.grid_shape)
+    b = rng.standard_normal(sp.grid_shape)
+    want = np.vdot(a, b)
+    n = sp.mesh.cells_per_axis
+    a_st = jnp.asarray(partition_axis0(a, n, p, n_dev))
+    b_st = jnp.asarray(partition_axis0(b, n, p, n_dev))
+    w_st = jnp.asarray(dot_weights_axis0(n, p, n_dev))
+
+    def f(a_s, b_s, w_s):
+        dot = make_sharded_dot(w_s[0], dim, AXIS)
+        return dot(a_s[0], b_s[0])
+
+    got = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=_mesh(n_dev),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(a_st, b_st, w_st)
+    assert float(got) == pytest.approx(want, rel=1e-13)
+
+
+def test_sharded_solve_matches_single_device():
+    dim, p, r = 3, 2, 3
+    sharded = ShardedGeometricPoisson(dim, p, r, devices=jax.devices()[:8])
+    x_s, st_s = sharded.solve()
+    single = GeometricMultigridPoisson(dim, p, r)
+    x_1, st_1 = single.solve()
+    assert st_s.converged and st_1.converged
+    # same hierarchy depth differs (sharded bottoms out at 8 cells/axis), so
+    # iteration counts may differ slightly; solutions must agree to the CG
+    # tolerance.
+    scale = np.abs(np.asarray(x_1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_s).reshape(-1),
+        np.asarray(x_1).reshape(-1),
+        atol=1e-9 * scale,
+    )
+    assert st_s.iterations <= 10
+
+
+def test_sharded_solve_two_devices():
+    sharded = ShardedGeometricPoisson(2, 3, 3, devices=jax.devices()[:2])
+    x, st = sharded.solve()
+    assert st.converged
+    assert st.iterations <= 10
+    assert st.solution_l2_norm == pytest.approx(0.0412615, rel=1e-4)
