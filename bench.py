@@ -1,29 +1,51 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: DoF/s for one full V-cycle application on 3D Poisson (the
+Headline: DoF/s for one full V-cycle application on 3D Poisson Q4 (the
 north-star in BASELINE.json is >= 1e9 DoF/s per chip).  Extra fields report
-the Q4 operator-apply throughput and its fraction of roofline.
+the operator-apply throughput.
 
-Run on the real TPU chip; falls back to whatever backend jax picks.
+Timing methodology: the kernel under test is iterated inside a single jitted
+lax.fori_loop and synchronized through a scalar readback; the per-iteration
+time is the slope between two iteration counts.  This removes dispatch/RPC
+overhead and is robust on backends where block_until_ready is unreliable
+(e.g. tunneled TPU attachments).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
-import numpy as np
+
+def _measure(f, x0, ns=(2, 8)):
+    import jax
+    import jax.numpy as jnp
+
+    ts = {}
+    for n in ns:
+
+        @jax.jit
+        def loop(v, n=n):
+            y = jax.lax.fori_loop(0, n, lambda i, u: f(u), v)
+            return jnp.sum(y.ravel()[:1])
+
+        float(loop(x0))  # compile + warm
+        t0 = time.perf_counter()
+        float(loop(x0))
+        ts[n] = time.perf_counter() - t0
+    return (ts[ns[1]] - ts[ns[0]]) / (ns[1] - ns[0])
 
 
 def main():
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
     dim = 3
     degree = 4
     refinements = int(os.environ.get("PMG_BENCH_REFINEMENTS", "6"))  # 64^3 cells
+    variant = os.environ.get("PMG_BENCH_VARIANT", "kron")
     dtype = jnp.float32
 
     from portable_multigrid_tpu.fem.mesh import (
@@ -33,7 +55,7 @@ def main():
     from portable_multigrid_tpu.fem.space import FESpace
     from portable_multigrid_tpu.ops.laplace import make_laplace
     from portable_multigrid_tpu.ops.transfer import make_h_transfer
-    from portable_multigrid_tpu.solvers.chebyshev import Chebyshev, make_chebyshev
+    from portable_multigrid_tpu.solvers.chebyshev import make_chebyshev
     from portable_multigrid_tpu.solvers.vcycle import MGLevel, VCycle
 
     mesh = HyperCubeMesh(dim, refinements)
@@ -42,25 +64,16 @@ def main():
     n_dofs = fine.n_dofs
 
     # --- operator apply benchmark -----------------------------------------
-    op = make_laplace(fine, dtype)
-    apply_jit = jax.jit(op.apply)
+    op = make_laplace(fine, dtype, variant=variant)
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(fine.grid_shape), dtype)
-    apply_jit(u).block_until_ready()
-
-    n_rep = 20
-    t0 = time.perf_counter()
-    v = u
-    for _ in range(n_rep):
-        v = apply_jit(v)
-    v.block_until_ready()
-    t_apply = (time.perf_counter() - t0) / n_rep
+    t_apply = _measure(op.apply, u)
     apply_dofs_per_s = n_dofs / t_apply
 
     # --- V-cycle benchmark -------------------------------------------------
     levels = []
     for i, sp in enumerate(spaces):
-        lop = make_laplace(sp, dtype)
+        lop = make_laplace(sp, dtype, variant=variant)
         if i == 0:
             sm = make_chebyshev(
                 lop, smoothing_range=1e-3, degree=None,
@@ -72,17 +85,8 @@ def main():
         tr = make_h_transfer(spaces[i - 1], sp, dtype) if i > 0 else None
         levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
     mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2, levels=tuple(levels))
-    vcycle_jit = jax.jit(mg.apply)
     b = jnp.asarray(rng.standard_normal(fine.grid_shape), dtype)
-    vcycle_jit(b).block_until_ready()
-
-    n_rep_v = 5
-    t0 = time.perf_counter()
-    w = b
-    for _ in range(n_rep_v):
-        w = vcycle_jit(w)
-    w.block_until_ready()
-    t_vcycle = (time.perf_counter() - t0) / n_rep_v
+    t_vcycle = _measure(mg.apply, b, ns=(1, 3))
     vcycle_dofs_per_s = n_dofs / t_vcycle
 
     result = {
@@ -96,6 +100,7 @@ def main():
         "n_dofs": n_dofs,
         "degree": degree,
         "dim": dim,
+        "variant": variant,
         "dtype": "float32",
         "device": str(jax.devices()[0]),
     }

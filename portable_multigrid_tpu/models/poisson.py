@@ -52,8 +52,8 @@ class SolveStats:
     dofs_per_level: list
 
 
-def _build_level(space: FESpace, dtype, coarse: bool) -> MGLevel:
-    op = make_laplace(space, dtype)
+def _build_level(space: FESpace, dtype, coarse: bool, variant: str = "sumfac") -> MGLevel:
+    op = make_laplace(space, dtype, variant=variant)
     if coarse:
         smoother = make_chebyshev(
             op,
@@ -76,15 +76,18 @@ def _solve(fine_op, mg: VCycle, rhs, rtol: float) -> CGResult:
 class _MultigridPoissonBase:
     """Common machinery: build levels, solve, report."""
 
-    def __init__(self, dtype=jnp.float64):
+    def __init__(self, dtype=jnp.float64, variant: str = "sumfac"):
         self.dtype = dtype
+        self.variant = variant
         self.levels: tuple[MGLevel, ...] = ()
         self.spaces: list[FESpace] = []
 
     def _assemble_levels(self, spaces, make_transfer):
         levels = []
         for i, sp in enumerate(spaces):
-            op, smoother = _build_level(sp, self.dtype, coarse=(i == 0))
+            op, smoother = _build_level(
+                sp, self.dtype, coarse=(i == 0), variant=self.variant
+            )
             transfer = (
                 make_transfer(spaces[i - 1], sp, self.dtype) if i > 0 else None
             )
@@ -133,8 +136,15 @@ class GeometricMultigridPoisson(_MultigridPoissonBase):
     coarsening sequence down to the 1-cell base mesh.
     """
 
-    def __init__(self, dim: int, degree: int, refinements: int, dtype=jnp.float64):
-        super().__init__(dtype)
+    def __init__(
+        self,
+        dim: int,
+        degree: int,
+        refinements: int,
+        dtype=jnp.float64,
+        variant: str = "sumfac",
+    ):
+        super().__init__(dtype, variant)
         mesh = HyperCubeMesh(dim, refinements)
         meshes = geometric_coarsening_sequence(mesh)
         spaces = [FESpace(m, degree) for m in meshes]
@@ -155,8 +165,9 @@ class PolynomialMultigridPoisson(_MultigridPoissonBase):
         refinements: int,
         n_levels: int | None = None,
         dtype=jnp.float64,
+        variant: str = "sumfac",
     ):
-        super().__init__(dtype)
+        super().__init__(dtype, variant)
         if n_levels is None:
             n_levels = degree
         if n_levels > degree:

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..fem.basis import make_basis
 from ..fem.space import FESpace
 from ..utils.pytree import pytree_dataclass, static_field
-from .structured import contract, overlap_add_all, split_all
+from .structured import PRECISION, contract, overlap_add_all, split_all
 
 
 @pytree_dataclass
@@ -51,11 +51,20 @@ class LaplaceOperator:
     dim: int = static_field()
     degree: int = static_field()
     n: tuple = static_field()  # cells per axis (tuple; differ on sharded slabs)
+    variant: str = static_field(default="sumfac")  # "sumfac" | "dense" | "kron"
+    # TPU f32 matmul passes: "highest" = exact f32 (6-pass bf16), "high" =
+    # 3-pass, "default" = 1-pass bf16.  Smoothing-level operators may relax
+    # this (the preconditioner need not be exact — SURVEY.md §7 hard part d);
+    # the outer CG operator should stay at "highest".
+    precision: str = static_field(default="highest")
     B: jnp.ndarray = None  # [nq, p+1] shape values at quad points
     Dco: jnp.ndarray = None  # [nq, nq] collocation derivative
     qmetric: jnp.ndarray = None  # [nq]*dim tensor: w_q ⊗ ... ⊗ w_q * h^(dim-2)
     mask: jnp.ndarray = None  # [N]*dim free-DoF grid mask (1 free, 0 constrained)
     inv_diag: jnp.ndarray = None  # [N]*dim inverse of the matrix diagonal
+    elem_matrix: jnp.ndarray = None  # [(p+1)^dim]^2 element matrix ("dense")
+    Kg: tuple = None  # per-axis assembled 1D stiffness [N_d, N_d] ("kron")
+    Mg: tuple = None  # per-axis assembled 1D mass [N_d, N_d] ("kron")
 
     # -- shapes -----------------------------------------------------------
     @property
@@ -86,7 +95,7 @@ class LaplaceOperator:
         # 1. basis change to quadrature collocation space
         v = ue
         for ax in qaxes:
-            v = contract(v, B, ax)
+            v = contract(v, B, ax, precision=self.precision)
 
         # 2. collocation gradients + 3. metric application (Cartesian: the
         #    metric is diagonal and cell-independent) + 4. transpose gradients
@@ -95,16 +104,77 @@ class LaplaceOperator:
         )
         r = None
         for d, ax in enumerate(qaxes):
-            g = contract(v, Dco, ax) * w
-            g = jnp.tensordot(g, Dco, axes=((ax,), (0,)))  # Dco^T along ax
-            g = jnp.moveaxis(g, -1, ax)
+            g = contract(v, Dco, ax, precision=self.precision) * w
+            g = jnp.tensordot(g, Dco, axes=((ax,), (0,)), precision=self.precision)
+            g = jnp.moveaxis(g, -1, ax)  # Dco^T along ax
             r = g if r is None else r + g
 
         # 5. basis change back
         for ax in qaxes:
-            r = jnp.tensordot(r, B, axes=((ax,), (0,)))  # B^T along ax
-            r = jnp.moveaxis(r, -1, ax)
+            r = jnp.tensordot(r, B, axes=((ax,), (0,)), precision=self.precision)
+            r = jnp.moveaxis(r, -1, ax)  # B^T along ax
         return r
+
+    def apply_local_dense(self, ue: jnp.ndarray) -> jnp.ndarray:
+        """Element apply as ONE MXU matmul with the constant element matrix.
+
+        On an affine uniformly refined mesh every cell's element matrix is
+        identical (A_loc = h^(dim-2) * A_ref), so the whole element loop is a
+        [E, (p+1)^dim] @ [(p+1)^dim, (p+1)^dim] matmul — the MXU-shaped
+        reformulation of the reference's per-cell sum factorization (SURVEY.md
+        §7 point 1; trades ~2x flops for dense systolic-array utilization,
+        which is free in the bandwidth-bound regime).
+        """
+        dim = self.dim
+        # interleaved [n0,q,n1,q,n2,q] -> [n0,n1,n2, q,q,q] -> [E, q^dim]
+        perm = tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
+        t = ue.transpose(perm)
+        q = self.degree + 1
+        E = 1
+        for nd in self.n:
+            E *= nd
+        flat = t.reshape(E, q**dim)
+        r = jnp.dot(flat, self.elem_matrix, precision=self.precision,
+                    preferred_element_type=flat.dtype)
+        t = r.reshape(tuple(self.n) + (q,) * dim)
+        inv = [0] * (2 * dim)
+        for i, p_ in enumerate(perm):
+            inv[p_] = i
+        return t.transpose(inv)
+
+    def apply_kron(self, um: jnp.ndarray) -> jnp.ndarray:
+        """Apply via assembled per-axis 1D matrices (Kronecker-sum form).
+
+        On a tensor-product mesh with Cartesian geometry the ASSEMBLED
+        operator factorizes globally:  A = sum_k M x ... K(k) ... x M with
+        banded 1D assembled stiffness/mass matrices — assembly (gather +
+        overlap-add) is absorbed into the 1D matrices, so the whole apply is
+        2*dim + (dim-1) large MXU matmuls on the contiguous DoF grid with NO
+        layout shuffles.  This is the TPU-shaped reformulation of the
+        reference's cell loop (same quadrature, exact same matrix: both
+        equal the assembled Galerkin operator)."""
+
+        def ctr(t, W, ax):
+            out = jnp.tensordot(t, W, axes=((ax,), (1,)), precision=self.precision)
+            return jnp.moveaxis(out, -1, ax)
+
+        dim = self.dim
+        if dim == 1:
+            return ctr(um, self.Kg[0], 0)
+        if dim == 2:
+            b = ctr(um, self.Mg[1], 1)
+            a = ctr(um, self.Kg[1], 1)
+            return ctr(b, self.Kg[0], 0) + ctr(a, self.Mg[0], 0)
+        # dim == 3: 8 passes with common-subexpression sharing
+        b = ctr(um, self.Mg[2], 2)  # M_z u
+        a = ctr(um, self.Kg[2], 2)  # K_z u
+        mb = ctr(b, self.Mg[1], 1)
+        kb = ctr(b, self.Kg[1], 1)
+        ma = ctr(a, self.Mg[1], 1)
+        return (
+            ctr(mb, self.Kg[0], 0)
+            + ctr(kb + ma, self.Mg[0], 0)
+        )
 
     def apply_bilinear(self, um: jnp.ndarray) -> jnp.ndarray:
         """Gather -> element apply -> scatter, WITHOUT the constraint masks.
@@ -112,8 +182,13 @@ class LaplaceOperator:
         The sharded operator wraps this with a halo plane exchange before
         applying the masks (parallel/sharding.py).
         """
+        if self.variant == "kron":
+            return self.apply_kron(um)
         ue = split_all(um, self.dim, self.n, self.degree)
-        r = self.apply_local(ue)
+        if self.variant == "dense":
+            r = self.apply_local_dense(ue)
+        else:
+            r = self.apply_local(ue)
         return overlap_add_all(r, self.dim, self.n, self.degree)
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -170,8 +245,40 @@ def _diagonal_grid(space: FESpace) -> np.ndarray:
     return diag * m + (1.0 - m)
 
 
-def make_laplace(space: FESpace, dtype=jnp.float64) -> LaplaceOperator:
-    """Build the device operator for a space (host-side setup, shipped once)."""
+def assembled_1d_matrices(space: FESpace) -> tuple[np.ndarray, np.ndarray]:
+    """Assembled 1D stiffness/mass matrices on the axis DoF grid (NumPy).
+
+    K1[i,j] = ∫ l_i' l_j' dx,  M1[i,j] = ∫ l_i l_j dx over the 1D mesh, with
+    the per-cell (p+1)-point Gauss rule (exact for both integrands)."""
+    b = space.basis
+    W = np.diag(b.q_weights)
+    Kc = (b.D.T @ W @ b.D) / space.mesh.h
+    Mc = (b.B.T @ W @ b.B) * space.mesh.h
+    n = space.mesh.cells_per_axis
+    p = space.degree
+    N = space.points_per_axis
+    K1 = np.zeros((N, N))
+    M1 = np.zeros((N, N))
+    for c in range(n):
+        sl = slice(c * p, c * p + p + 1)
+        K1[sl, sl] += Kc
+        M1[sl, sl] += Mc
+    return K1, M1
+
+
+def make_laplace(
+    space: FESpace, dtype=jnp.float64, variant: str = "sumfac"
+) -> LaplaceOperator:
+    """Build the device operator for a space (host-side setup, shipped once).
+
+    variant "sumfac": per-direction 1D contractions (general, low flops);
+    variant "dense": one constant element matrix applied as a single MXU
+    matmul per batch; variant "kron": assembled 1D matrices applied as
+    dim large matmuls on the contiguous grid — fastest on affine uniform
+    meshes at moderate grid sizes.
+    """
+    from ..fem.assemble import element_stiffness_cartesian
+
     b = space.basis
     dim = space.dim
     wq = b.q_weights
@@ -180,13 +287,29 @@ def make_laplace(space: FESpace, dtype=jnp.float64) -> LaplaceOperator:
         qm = np.multiply.outer(qm, wq)
     qm = qm * space.mesh.h ** (dim - 2)
     diag = _diagonal_grid(space)
+    elem = None
+    Kg = Mg = None
+    if variant == "dense":
+        elem = jnp.asarray(
+            element_stiffness_cartesian(space.degree, dim, space.mesh.h), dtype
+        )
+    elif variant == "kron":
+        K1, M1 = assembled_1d_matrices(space)
+        Kg = (jnp.asarray(K1, dtype),) * dim
+        Mg = (jnp.asarray(M1, dtype),) * dim
+    elif variant != "sumfac":
+        raise ValueError(f"unknown operator variant: {variant!r}")
     return LaplaceOperator(
         dim=dim,
         degree=space.degree,
         n=(space.mesh.cells_per_axis,) * dim,
+        variant=variant,
         B=jnp.asarray(b.B, dtype),
         Dco=jnp.asarray(b.Dco, dtype),
         qmetric=jnp.asarray(qm, dtype),
         mask=jnp.asarray(space.free_mask(), dtype),
         inv_diag=jnp.asarray(1.0 / diag, dtype),
+        elem_matrix=elem,
+        Kg=Kg,
+        Mg=Mg,
     )

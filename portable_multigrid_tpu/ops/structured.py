@@ -19,7 +19,12 @@ neighboring cells), which both the operator (stride p) and the transfers
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# TPU matmuls default to one-pass bf16; the solver needs true f32/f64
+# contractions (the reference is f64 end-to-end, SURVEY.md §7 point 4).
+PRECISION = jax.lax.Precision.HIGHEST
 
 
 def split_windows(u: jnp.ndarray, axis: int, n: int, stride: int) -> jnp.ndarray:
@@ -61,14 +66,18 @@ def overlap_add(v: jnp.ndarray, axis: int, n: int, stride: int) -> jnp.ndarray:
     return jnp.moveaxis(left + tail, 0, axis)
 
 
-def contract(t: jnp.ndarray, M: jnp.ndarray, axis: int) -> jnp.ndarray:
+def contract(
+    t: jnp.ndarray, M: jnp.ndarray, axis: int, precision=None
+) -> jnp.ndarray:
     """Apply the 1D matrix M[out, in] along ``axis`` of t (sum-factorization step).
 
     The jnp analog of one ``EvaluatorTensorProduct::values<direction>`` /
     ``co_gradients<direction>`` pass (reference:
     include/operators/portable_laplace_operator.h:281-296).
     """
-    out = jnp.tensordot(t, M, axes=((axis,), (1,)))
+    out = jnp.tensordot(
+        t, M, axes=((axis,), (1,)), precision=precision or PRECISION
+    )
     return jnp.moveaxis(out, -1, axis)
 
 

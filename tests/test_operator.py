@@ -81,3 +81,17 @@ def test_nullspace_of_constant_on_interior():
     p = sp.degree
     inner = au[2 * p : -2 * p, 2 * p : -2 * p]
     np.testing.assert_allclose(inner, 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("dim,p,r", [(1, 3, 2), (2, 2, 2), (3, 2, 1), (3, 4, 1)])
+def test_variants_agree(dim, p, r):
+    """All operator variants (sumfac / dense element matrix / assembled
+    Kronecker) implement the same matrix."""
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(sp.grid_shape)
+    ref = np.asarray(make_laplace(sp, variant="sumfac").apply(u))
+    scale = np.abs(ref).max()
+    for variant in ("dense", "kron"):
+        got = np.asarray(make_laplace(sp, variant=variant).apply(u))
+        np.testing.assert_allclose(got, ref, atol=1e-13 * scale)
