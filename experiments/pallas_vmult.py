@@ -1,17 +1,17 @@
-"""Standalone experiment: fused Pallas vmult kernel (3D, Kronecker-local).
+"""Standalone experiment: fused Pallas vmult kernel (3D, banded Kronecker).
 
-One HBM read + one HBM write per apply: per-block Kronecker-local operator
-application entirely in VMEM, with carry planes resolving the overlap-add
-across the sequential grid.  Dirichlet masks are folded into the 1D matrices
-(z on the host, x/y in-kernel via iota masking at domain-edge blocks).
+One HBM read + one HBM write per apply.  The assembled 1D matrices are
+(2p+1)-banded, so every 1D contraction is a sum of 2p+1 rolled
+broadcast-FMAs on the VPU — no matmuls, no transposes, exact f32.  Carry
+planes resolve the overlap-add across the sequential grid; Dirichlet masks
+fold into the band coefficients (z on the host, x/y in-kernel via iota
+masks at domain-edge blocks).
 
-Validates against the XLA kron-variant apply and measures throughput.
 Run on TPU:  python experiments/pallas_vmult.py [--check] [--bench]
 """
 
 import sys
 import time
-from functools import partial
 
 import numpy as np
 import jax
@@ -26,7 +26,18 @@ from portable_multigrid_tpu.fem.space import FESpace
 from portable_multigrid_tpu.ops.laplace import assembled_1d_matrices, make_laplace
 
 
-def build(space, dtype=jnp.float32, bx=8, by=8, precision="highest"):
+def to_bands(W: np.ndarray, p: int) -> np.ndarray:
+    """[L, L] banded matrix -> bands [2p+1, L]: bands[p+o, i] = W[i, i+o]
+    (zero where i+o is out of range, which also kills roll wrap-around)."""
+    L = W.shape[0]
+    bands = np.zeros((2 * p + 1, L))
+    for o in range(-p, p + 1):
+        for i in range(max(0, -o), min(L, L - o)):
+            bands[p + o, i] = W[i, i + o]
+    return bands
+
+
+def build(space, dtype=jnp.float32, bx=8, by=8):
     p = space.degree
     n = space.mesh.cells_per_axis
     N = space.points_per_axis
@@ -35,35 +46,20 @@ def build(space, dtype=jnp.float32, bx=8, by=8, precision="highest"):
     Y = by * p + 1
     Z = N
     nbi, nbj = n // bx, n // by
+    nb = 2 * p + 1
 
     K1, M1 = assembled_1d_matrices(space)
     m1 = space.free_mask_1d()
 
-    def local_1d(b):
-        w = b * p + 1
-        return K1[:w, :w].copy(), M1[:w, :w].copy()
+    # z: mask folded on the host; x/y: local block matrices, masked in-kernel
+    Kzb = to_bands(m1[:, None] * K1 * m1[None, :], p).reshape(nb, 1, 1, Z)
+    Mzb = to_bands(m1[:, None] * M1 * m1[None, :], p).reshape(nb, 1, 1, Z)
+    Kxb = to_bands(K1[:X, :X], p).reshape(nb, X, 1, 1)
+    Mxb = to_bands(M1[:X, :X], p).reshape(nb, X, 1, 1)
+    Kyb = to_bands(K1[:Y, :Y], p).reshape(nb, 1, Y, 1)
+    Myb = to_bands(M1[:Y, :Y], p).reshape(nb, 1, Y, 1)
 
-    Kxh, Mxh = local_1d(bx)
-    Kyh, Myh = local_1d(by)
-    # z-masks folded on the host (z is never blocked)
-    Kz = jnp.asarray(m1[:, None] * K1 * m1[None, :], dtype)
-    Mz = jnp.asarray(m1[:, None] * M1 * m1[None, :], dtype)
-    Kx = jnp.asarray(Kxh, dtype)
-    Mx = jnp.asarray(Mxh, dtype)
-    Ky = jnp.asarray(Kyh, dtype)
-    My = jnp.asarray(Myh, dtype)
-
-    def edge_mask(W, idx, nb):
-        """Zero first row+col at the first block / last row+col at the last
-        block: folds the global Dirichlet mask into the local 1D matrix."""
-        L = W.shape[0]
-        r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-        keep_first = jnp.logical_or(idx > 0, jnp.logical_and(r > 0, c > 0))
-        keep_last = jnp.logical_or(
-            idx < nb - 1, jnp.logical_and(r < L - 1, c < L - 1)
-        )
-        return jnp.where(jnp.logical_and(keep_first, keep_last), W, 0.0)
+    band_args = [jnp.asarray(v, dtype) for v in (Kzb, Mzb, Kxb, Mxb, Kyb, Myb)]
 
     def kernel(u_hbm, Kz_r, Mz_r, Kx_r, Mx_r, Ky_r, My_r, out_hbm,
                slab, outs, carry_y, carry_x, sems):
@@ -77,24 +73,33 @@ def build(space, dtype=jnp.float32, bx=8, by=8, precision="highest"):
         cin.start()
         cin.wait()
 
-        Kxm = edge_mask(Kx_r[:, :], i, nbi)
-        Mxm = edge_mask(Mx_r[:, :], i, nbi)
-        Kym = edge_mask(Ky_r[:, :], j, nbj)
-        Mym = edge_mask(My_r[:, :], j, nbj)
+        # in-kernel Dirichlet edge masks for the blocked axes
+        xi = jax.lax.broadcasted_iota(jnp.int32, (X, 1, 1), 0)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
+        mvx = jnp.logical_and(
+            jnp.logical_or(i > 0, xi > 0),
+            jnp.logical_or(i < nbi - 1, xi < X - 1),
+        ).astype(dtype)
+        mvy = jnp.logical_and(
+            jnp.logical_or(j > 0, yi > 0),
+            jnp.logical_or(j < nbj - 1, yi < Y - 1),
+        ).astype(dtype)
 
-        dot2 = partial(jnp.dot, precision=precision,
-                       preferred_element_type=dtype)
+        um = slab[:, :, :] * mvx * mvy  # z-mask folded into z-bands
 
-        flat = slab[:, :, :].reshape(X * Y, Z)
-        b = dot2(flat, Mz_r[:, :]).reshape(X, Y, Z)
-        a = dot2(flat, Kz_r[:, :]).reshape(X, Y, Z)
-        bT = b.transpose(1, 0, 2).reshape(Y, X * Z)
-        aT = a.transpose(1, 0, 2).reshape(Y, X * Z)
-        c1T = dot2(Mym, bT)
-        c2T = dot2(Kym, bT) + dot2(Mym, aT)
-        c1 = c1T.reshape(Y, X, Z).transpose(1, 0, 2).reshape(X, Y * Z)
-        c2 = c2T.reshape(Y, X, Z).transpose(1, 0, 2).reshape(X, Y * Z)
-        raw = (dot2(Kxm, c1) + dot2(Mxm, c2)).reshape(X, Y, Z)
+        def banded(t, bands_ref, axis):
+            acc = bands_ref[p] * t
+            for o in range(1, p + 1):
+                acc += bands_ref[p + o] * pltpu.roll(t, -o, axis=axis)
+                acc += bands_ref[p - o] * pltpu.roll(t, o, axis=axis)
+            return acc
+
+        b = banded(um, Mz_r, 2)  # M_z u
+        a = banded(um, Kz_r, 2)  # K_z u
+        mb = banded(b, My_r, 1)
+        kb = banded(b, Ky_r, 1)
+        ma = banded(a, My_r, 1)
+        raw = banded(mb, Kx_r, 0) + banded(kb + ma, Mx_r, 0)
 
         # ---- carries (raw contributions only; static-size slots) ----
         wbuf = jax.lax.rem(i, 2)
@@ -105,10 +110,12 @@ def build(space, dtype=jnp.float32, bx=8, by=8, precision="highest"):
         cy = jnp.where(j > 0, carry_y[:, :], jnp.zeros_like(carry_y))
         carry_y[:, :] = tmp_cy
 
-        seg = carry_x[rbuf, j]  # [Y, Z]; rows 0..Y-2 feed this block
+        seg = carry_x[rbuf, j]  # [Y, Z]
         prev_last = carry_x[rbuf, jnp.maximum(j - 1, 0)][Y - 1 : Y, :]
         cx = seg[: Y - 1, :]
-        cx_row0 = cx[:1, :] + jnp.where(j > 0, prev_last, jnp.zeros_like(prev_last))
+        cx_row0 = cx[:1, :] + jnp.where(
+            j > 0, prev_last, jnp.zeros_like(prev_last)
+        )
         cx = jnp.concatenate([cx_row0, cx[1:, :]], axis=0)
         cx = jnp.where(i > 0, cx, jnp.zeros_like(cx))
 
@@ -117,6 +124,8 @@ def build(space, dtype=jnp.float32, bx=8, by=8, precision="highest"):
         outv = jnp.concatenate([plane_y0, outv[:, 1:, :]], axis=1)
         plane_x0 = outv[:1, :, :] + cx[None, :, :]
         outv = jnp.concatenate([plane_x0, outv[1:, :, :]], axis=0)
+        # output mask on the written planes
+        outv = outv * mvx[: X - 1] * mvy[:, : Y - 1]
 
         outs[:, :, :] = outv
         cout = pltpu.make_async_copy(
@@ -151,8 +160,7 @@ def build(space, dtype=jnp.float32, bx=8, by=8, precision="highest"):
 
     @jax.jit
     def apply(u):
-        au = inner(u, Kz, Mz, Kx, Mx, Ky, My)
-        # unwritten global last planes + Dirichlet faces: out = u there
+        au = inner(u, *band_args)
         au = au.at[-1, :, :].set(0.0).at[:, -1, :].set(0.0)
         return maskg * au + (1.0 - maskg) * u
 
@@ -173,33 +181,32 @@ def main():
             f = build(sp, jnp.float32, bx=bx, by=bx)
             got = np.asarray(f(u))
             err = np.abs(got - want).max() / np.abs(want).max()
-            print(f"bx={bx} rel err: {err}")
+            print(f"bx={bx} rel err: {err}", flush=True)
             assert err < 1e-5, err
-        print("CHECK OK")
+        print("CHECK OK", flush=True)
     if bench:
         sp = FESpace(HyperCubeMesh(3, 6), 4)
         for bx in (4, 8):
-            for prec in ("highest", "default"):
-                f = build(sp, jnp.float32, bx=bx, by=bx, precision=prec)
-                u = jnp.asarray(
-                    np.random.default_rng(0).standard_normal(sp.grid_shape),
-                    jnp.float32,
-                )
-                ts = {}
-                for n in (2, 8):
-                    @jax.jit
-                    def loop(v, n=n):
-                        y = jax.lax.fori_loop(0, n, lambda k, w: f(w), v)
-                        return jnp.sum(y.ravel()[:1])
-                    float(loop(u))
-                    t0 = time.perf_counter()
-                    float(loop(u))
-                    ts[n] = time.perf_counter() - t0
-                dt = (ts[8] - ts[2]) / 6
-                print(
-                    f"bx={bx} prec={prec}: {dt*1e3:.3f} ms "
-                    f"({sp.n_dofs/dt/1e9:.2f} GDoF/s)", flush=True
-                )
+            f = build(sp, jnp.float32, bx=bx, by=bx)
+            u = jnp.asarray(
+                np.random.default_rng(0).standard_normal(sp.grid_shape),
+                jnp.float32,
+            )
+            ts = {}
+            for n in (2, 8):
+                @jax.jit
+                def loop(v, n=n):
+                    y = jax.lax.fori_loop(0, n, lambda k, w: f(w), v)
+                    return jnp.sum(y.ravel()[:1])
+                float(loop(u))
+                t0 = time.perf_counter()
+                float(loop(u))
+                ts[n] = time.perf_counter() - t0
+            dt = (ts[8] - ts[2]) / 6
+            print(
+                f"bx={bx}: {dt*1e3:.3f} ms ({sp.n_dofs/dt/1e9:.2f} GDoF/s)",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

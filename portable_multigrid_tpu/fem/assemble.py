@@ -71,6 +71,55 @@ def element_stiffness_cartesian(degree: int, dim: int, h: float) -> np.ndarray:
     return h ** (dim - 2) * sum(mats)
 
 
+def gradient_matrices(degree: int, dim: int) -> list[np.ndarray]:
+    """Reference-cell gradient matrices G_k[Q, ndof] (lexicographic, axis 0
+    slowest), for dense golden assemblies."""
+    b = make_basis(degree)
+    mats = []
+    for k in range(dim):
+        G = np.array([[1.0]])
+        for m in range(dim):
+            G = np.kron(G, b.D if m == k else b.B)
+        mats.append(G)
+    return mats
+
+
+def dense_operator_coefficient(space: FESpace, coefficient) -> np.ndarray:
+    """Dense golden operator for a variable scalar coefficient c(x):
+    a(u,v) = ∫ c grad u . grad v, with the same constrained-DoF semantics as
+    :func:`dense_operator`.  Tiny meshes only (python cell loop)."""
+    from .basis import gauss_points
+
+    b = make_basis(space.degree)
+    dim, p = space.dim, space.degree
+    h = space.mesh.h
+    n = space.mesh.cells_per_axis
+    G = gradient_matrices(p, dim)
+    qp, qw = gauss_points(p + 1)
+    wq = np.array([1.0])
+    for _ in range(dim):
+        wq = np.kron(wq, qw)
+    l2g = space.local_to_global()
+    N = space.n_dofs
+    A = np.zeros((N, N))
+    cells = [
+        np.unravel_index(e, (n,) * dim) for e in range(l2g.shape[0])
+    ]
+    for e, cell in enumerate(cells):
+        # physical coordinates of this cell's quadrature points
+        axes = [space.mesh.a + h * (c + qp) for c in cell]
+        coords = np.meshgrid(*axes, indexing="ij")
+        cq = np.asarray(coefficient(*coords), dtype=np.float64).reshape(-1)
+        W = cq * wq * h ** (dim - 2)
+        A_loc = sum((Gk * W[:, None]).T @ Gk for Gk in G)
+        idx = l2g[e]
+        A[np.ix_(idx, idx)] += A_loc
+    m = space.free_mask().reshape(-1)
+    A = A * m[:, None] * m[None, :]
+    A[np.arange(N), np.arange(N)] += 1.0 - m
+    return A
+
+
 def dense_operator(space: FESpace) -> np.ndarray:
     """Dense global operator with the reference's constrained-DoF semantics.
 

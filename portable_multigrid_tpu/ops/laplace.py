@@ -65,6 +65,11 @@ class LaplaceOperator:
     elem_matrix: jnp.ndarray = None  # [(p+1)^dim]^2 element matrix ("dense")
     Kg: tuple = None  # per-axis assembled 1D stiffness [N_d, N_d] ("kron")
     Mg: tuple = None  # per-axis assembled 1D mass [N_d, N_d] ("kron")
+    # optional variable scalar coefficient c(x) sampled at quadrature points,
+    # laid out [n_0*nq, n_1*nq, ...] ("sumfac" only): generalizes the q-point
+    # stage exactly like the reference's pluggable geometry data (SURVEY.md §7
+    # M5); None = unit coefficient.
+    coef: jnp.ndarray = None
 
     # -- shapes -----------------------------------------------------------
     @property
@@ -102,6 +107,12 @@ class LaplaceOperator:
         w = self.qmetric.reshape(
             tuple(1 if a % 2 == 0 else self.B.shape[0] for a in range(2 * dim))
         )
+        if self.coef is not None:
+            nq = self.B.shape[0]
+            shp = []
+            for nd in self.n:
+                shp.extend((nd, nq))
+            w = w * self.coef.reshape(shp)
         r = None
         for d, ax in enumerate(qaxes):
             g = contract(v, Dco, ax, precision=self.precision) * w
@@ -266,8 +277,51 @@ def assembled_1d_matrices(space: FESpace) -> tuple[np.ndarray, np.ndarray]:
     return K1, M1
 
 
+def _coef_at_quad(space: FESpace, coefficient) -> np.ndarray:
+    """Sample a coefficient callable at all quadrature points: [n*nq]^dim."""
+    from ..fem.assemble import quad_grid_1d
+
+    x1 = quad_grid_1d(space)
+    coords = np.meshgrid(*([x1] * space.dim), indexing="ij")
+    return np.asarray(coefficient(*coords), dtype=np.float64)
+
+
+def _diagonal_grid_coef(space: FESpace, coef: np.ndarray) -> np.ndarray:
+    """Matrix diagonal for a variable scalar coefficient (NumPy, setup).
+
+    d[i] = sum_q c_q w_q h^(dim-2) |grad phi_i(q)|^2; the squared gradient
+    factorizes per axis, so this is a sum-factorized contraction of the
+    coefficient grid with squared 1D matrices, followed by overlap-add."""
+    from ..fem.assemble import overlap_add_np
+
+    b = make_basis(space.degree)
+    p = space.degree
+    nq = b.n_q
+    n = space.mesh.cells_per_axis
+    dim = space.dim
+    B2 = b.B**2 * b.q_weights[:, None]
+    D2 = b.D**2 * b.q_weights[:, None]
+    # B2/D2[q, i] include the quadrature weight for that axis
+    diag = np.zeros(space.grid_shape)
+    for k in range(dim):
+        t = coef
+        for ax in range(dim):
+            M = D2 if ax == k else B2
+            t = np.moveaxis(t, ax, 0)
+            shp = t.shape
+            t = t.reshape(n, nq, *shp[1:])
+            t = np.tensordot(M, t, axes=(0, 1))  # [p+1, n, ...]
+            t = np.moveaxis(t, 0, 1)
+            t = np.moveaxis(np.moveaxis(t, 1, -1), 0, ax)
+            t = overlap_add_np(t, ax, n, p, p + 1)
+        diag = diag + t
+    diag = diag * space.mesh.h ** (dim - 2)
+    m = space.free_mask()
+    return diag * m + (1.0 - m)
+
+
 def make_laplace(
-    space: FESpace, dtype=jnp.float64, variant: str = "sumfac"
+    space: FESpace, dtype=jnp.float64, variant: str = "sumfac", coefficient=None
 ) -> LaplaceOperator:
     """Build the device operator for a space (host-side setup, shipped once).
 
@@ -286,7 +340,16 @@ def make_laplace(
     for _ in range(dim):
         qm = np.multiply.outer(qm, wq)
     qm = qm * space.mesh.h ** (dim - 2)
-    diag = _diagonal_grid(space)
+    coef = None
+    if coefficient is not None:
+        if variant != "sumfac":
+            raise ValueError(
+                "variable coefficients require the 'sumfac' variant"
+            )
+        coef = _coef_at_quad(space, coefficient)
+        diag = _diagonal_grid_coef(space, coef)
+    else:
+        diag = _diagonal_grid(space)
     elem = None
     Kg = Mg = None
     if variant == "dense":
@@ -312,4 +375,5 @@ def make_laplace(
         elem_matrix=elem,
         Kg=Kg,
         Mg=Mg,
+        coef=None if coef is None else jnp.asarray(coef, dtype),
     )

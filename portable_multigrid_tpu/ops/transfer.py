@@ -66,7 +66,15 @@ class Transfer:
         return self.mask_c1[ax].reshape(shp)
 
     def prolongate(self, c: jnp.ndarray) -> jnp.ndarray:
-        """P c: coarse grid -> fine grid (both masked, fine side weighted)."""
+        """P c: coarse grid -> fine grid (both masked, fine side weighted).
+
+        Accepts an optional leading component axis (vector-valued fields,
+        e.g. elasticity): transfers apply component-wise.
+        """
+        if c.ndim == self.dim + 1:
+            import jax
+
+            return jax.vmap(self.prolongate)(c)
         t = c
         for ax in range(self.dim):
             t = t * self._mc(ax)  # constrained coarse DoFs read zero
@@ -83,6 +91,10 @@ class Transfer:
 
     def restrict(self, f: jnp.ndarray) -> jnp.ndarray:
         """P^T f: fine grid -> coarse grid (exact transpose of prolongate)."""
+        if f.ndim == self.dim + 1:
+            import jax
+
+            return jax.vmap(self.restrict)(f)
         t = f
         for ax in range(self.dim):
             t = t * self._wf(ax)  # weights BEFORE the contraction

@@ -95,3 +95,28 @@ def test_variants_agree(dim, p, r):
     for variant in ("dense", "kron"):
         got = np.asarray(make_laplace(sp, variant=variant).apply(u))
         np.testing.assert_allclose(got, ref, atol=1e-13 * scale)
+
+
+def _coef(*xs):
+    out = 1.0
+    for x in xs:
+        out = out + 0.3 * np.sin(3 * x)
+    return out
+
+
+@pytest.mark.parametrize("dim,p,r", [(1, 3, 2), (2, 2, 2), (3, 2, 1)])
+def test_variable_coefficient_matches_dense(dim, p, r):
+    """a(u,v) = ∫ c grad u . grad v with a smooth c(x) (BASELINE config 4)."""
+    from portable_multigrid_tpu.fem.assemble import dense_operator_coefficient
+
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    A = dense_operator_coefficient(sp, _coef)
+    op = make_laplace(sp, coefficient=_coef)
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal(sp.grid_shape)
+    got = np.asarray(op.apply(u)).reshape(-1)
+    want = A @ u.reshape(-1)
+    np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
+    np.testing.assert_allclose(
+        (1.0 / np.asarray(op.inv_diag)).reshape(-1), np.diag(A), rtol=1e-12
+    )
