@@ -88,9 +88,11 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
         um = slab[:, :, :] * mvx * mvy  # z-mask folded into z-bands
 
         def banded(t, bands_ref, axis):
+            L = t.shape[axis]
             acc = bands_ref[p] * t
             for o in range(1, p + 1):
-                acc += bands_ref[p + o] * pltpu.roll(t, -o, axis=axis)
+                # roll shift must be non-negative: -o == L - o (circular)
+                acc += bands_ref[p + o] * pltpu.roll(t, L - o, axis=axis)
                 acc += bands_ref[p - o] * pltpu.roll(t, o, axis=axis)
             return acc
 
