@@ -65,7 +65,9 @@ def test_jacobians_exact_on_affine():
     gm = structured_as_general(mesh)
     inv_jac, jxw = gm.geometry_tables(3)
     np.testing.assert_allclose(
-        inv_jac, np.eye(3)[None, None] / mesh.h, atol=1e-12
+        inv_jac,
+        np.broadcast_to(np.eye(3) / mesh.h, inv_jac.shape),
+        atol=1e-12,
     )
     wsum = jxw.sum()
     assert wsum == pytest.approx(1.0)  # measure of the unit cube
