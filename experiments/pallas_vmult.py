@@ -44,16 +44,29 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
     assert n % bx == 0 and n % by == 0
     X = bx * p + 1
     Y = by * p + 1
-    Z = N
+    # Lane trick: HBM DMA lane slices must be 128-aligned; the global last
+    # z-plane is Dirichlet-constrained (reads as zero, written outside), so
+    # the kernel works on exactly Z = n*p lanes, which must be a multiple
+    # of 128.
+    Z = n * p
+    if Z % 128 != 0:
+        raise ValueError(
+            f"pallas variant needs n*p % 128 == 0 (got {Z}); use the kron "
+            "variant for this size"
+        )
     nbi, nbj = n // bx, n // by
     nb = 2 * p + 1
 
     K1, M1 = assembled_1d_matrices(space)
     m1 = space.free_mask_1d()
 
-    # z: mask folded on the host; x/y: local block matrices, masked in-kernel
-    Kzb = to_bands(m1[:, None] * K1 * m1[None, :], p).reshape(nb, 1, 1, Z)
-    Mzb = to_bands(m1[:, None] * M1 * m1[None, :], p).reshape(nb, 1, 1, Z)
+    # z: mask folded on the host (restriction to [:Z] is exact because the
+    # masked matrices have zero row/col at the last plane); x/y: local block
+    # matrices, masked in-kernel
+    Kzm = (m1[:, None] * K1 * m1[None, :])[:Z, :Z]
+    Mzm = (m1[:, None] * M1 * m1[None, :])[:Z, :Z]
+    Kzb = to_bands(Kzm, p).reshape(nb, 1, 1, Z)
+    Mzb = to_bands(Mzm, p).reshape(nb, 1, 1, Z)
     Kxb = to_bands(K1[:X, :X], p).reshape(nb, X, 1, 1)
     Mxb = to_bands(M1[:X, :X], p).reshape(nb, X, 1, 1)
     Kyb = to_bands(K1[:Y, :Y], p).reshape(nb, 1, Y, 1)
@@ -61,16 +74,39 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
 
     band_args = [jnp.asarray(v, dtype) for v in (Kzb, Mzb, Kxb, Mxb, Kyb, Myb)]
 
+    byp = by * p
+    if byp % 8 != 0:
+        raise ValueError("pallas variant needs by*p % 8 == 0")
+
     def kernel(u_hbm, Kz_r, Mz_r, Kx_r, Mx_r, Ky_r, My_r, out_hbm,
                slab, outs, carry_y, carry_x, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
+        # HBM sublane slices must be 8-aligned: fetch the y-window as the
+        # aligned [byp] body plus the next 8 rows (absent at the last block,
+        # where the extra row is the Dirichlet boundary -> zeros).
         cin = pltpu.make_async_copy(
-            u_hbm.at[pl.ds(i * bx * p, X), pl.ds(j * by * p, Y), :],
-            slab, sems.at[0],
+            u_hbm.at[pl.ds(i * bx * p, X), pl.ds(j * byp, byp), pl.ds(0, Z)],
+            slab.at[:, 0:byp, :], sems.at[0],
         )
         cin.start()
+
+        @pl.when(j < nbj - 1)
+        def _():
+            cin2 = pltpu.make_async_copy(
+                u_hbm.at[
+                    pl.ds(i * bx * p, X), pl.ds((j + 1) * byp, 8), pl.ds(0, Z)
+                ],
+                slab.at[:, byp : byp + 8, :], sems.at[2],
+            )
+            cin2.start()
+            cin2.wait()
+
+        @pl.when(j == nbj - 1)
+        def _():
+            slab[:, byp : byp + 8, :] = jnp.zeros((X, 8, Z), dtype)
+
         cin.wait()
 
         # in-kernel Dirichlet edge masks for the blocked axes
@@ -85,7 +121,7 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
             jnp.logical_or(j < nbj - 1, yi < Y - 1),
         ).astype(dtype)
 
-        um = slab[:, :, :] * mvx * mvy  # z-mask folded into z-bands
+        um = slab[:, :Y, :] * mvx * mvy  # z-mask folded into z-bands
 
         def banded(t, bands_ref, axis):
             L = t.shape[axis]
@@ -132,7 +168,9 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
         outs[:, :, :] = outv
         cout = pltpu.make_async_copy(
             outs,
-            out_hbm.at[pl.ds(i * bx * p, X - 1), pl.ds(j * by * p, Y - 1), :],
+            out_hbm.at[
+                pl.ds(i * bx * p, X - 1), pl.ds(j * by * p, Y - 1), pl.ds(0, Z)
+            ],
             sems.at[1],
         )
         cout.start()
@@ -147,11 +185,11 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((N, N, N), dtype),
         scratch_shapes=[
-            pltpu.VMEM((X, Y, Z), dtype),
+            pltpu.VMEM((X, byp + 8, Z), dtype),
             pltpu.VMEM((X - 1, Y - 1, Z), dtype),
             pltpu.VMEM((X, Z), dtype),
             pltpu.VMEM((2, nbj, Y, Z), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -163,7 +201,13 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
     @jax.jit
     def apply(u):
         au = inner(u, *band_args)
-        au = au.at[-1, :, :].set(0.0).at[:, -1, :].set(0.0)
+        # unwritten global last planes (x, y, and the z lane-trick plane):
+        # all Dirichlet faces -> out = u there via the mask combine
+        au = (
+            au.at[-1, :, :].set(0.0)
+            .at[:, -1, :].set(0.0)
+            .at[:, :, -1].set(0.0)
+        )
         return maskg * au + (1.0 - maskg) * u
 
     return apply
@@ -173,13 +217,13 @@ def main():
     check = "--check" in sys.argv
     bench = "--bench" in sys.argv
     if check:
-        sp = FESpace(HyperCubeMesh(3, 4), 4)  # 16^3 cells, N=65
+        sp = FESpace(HyperCubeMesh(3, 5), 4)  # 32^3 cells, N=129, Z=128
         op = make_laplace(sp, jnp.float32, variant="kron")
         u = jnp.asarray(
             np.random.default_rng(0).standard_normal(sp.grid_shape), jnp.float32
         )
         want = np.asarray(jax.jit(op.apply)(u))
-        for bx in (2, 4):
+        for bx in (4, 8):
             f = build(sp, jnp.float32, bx=bx, by=bx)
             got = np.asarray(f(u))
             err = np.abs(got - want).max() / np.abs(want).max()

@@ -138,6 +138,59 @@ def make_indexed_laplace(
     )
 
 
+def make_unstructured_laplace(
+    gmesh: GeneralMesh, degree: int, dtype=jnp.float64
+) -> IndexedLaplaceOperator:
+    """Fully unstructured path: DoF topology from the native enumerator
+    (edge/face orientation matching), geometry from the Q1 mapping.
+
+    Homogeneous Dirichlet on the whole mesh boundary (faces shared by a
+    single cell), matching the reference drivers' boundary_id 0.
+    """
+    from ..fem.basis import make_basis
+    from ..native import enumerate_dofs
+
+    n_dofs, l2g, mask = enumerate_dofs(gmesh, degree)
+    b = make_basis(degree)
+    metric = _metric_tables(gmesh, degree)
+    diag = _indexed_diagonal(metric, l2g, degree, gmesh.dim, n_dofs)
+    diag = diag * mask + (1.0 - mask)
+    return IndexedLaplaceOperator(
+        dim=gmesh.dim,
+        degree=degree,
+        n_dofs=n_dofs,
+        l2g=jnp.asarray(l2g, jnp.int32),
+        metric=jnp.asarray(metric, dtype),
+        B=jnp.asarray(b.B, dtype),
+        Dco=jnp.asarray(b.Dco, dtype),
+        mask=jnp.asarray(mask, dtype),
+        inv_diag=jnp.asarray(1.0 / diag, dtype),
+    )
+
+
+def dense_unstructured_operator(gmesh: GeneralMesh, degree: int) -> np.ndarray:
+    """Dense golden operator on a fully unstructured mesh (tiny meshes)."""
+    from ..fem.basis import make_basis
+    from ..native import enumerate_dofs
+
+    n_dofs, l2g, mask = enumerate_dofs(gmesh, degree)
+    metric = _metric_tables(gmesh, degree)
+    G = gradient_matrices(degree, gmesh.dim)
+    A = np.zeros((n_dofs, n_dofs))
+    for e in range(l2g.shape[0]):
+        A_loc = np.zeros((l2g.shape[1], l2g.shape[1]))
+        for r in range(gmesh.dim):
+            for s in range(gmesh.dim):
+                A_loc += np.einsum(
+                    "q,ql,qm->lm", metric[e, :, r, s], G[r], G[s]
+                )
+        idx = l2g[e]
+        A[np.ix_(idx, idx)] += A_loc
+    A = A * mask[:, None] * mask[None, :]
+    A[np.arange(n_dofs), np.arange(n_dofs)] += 1.0 - mask
+    return A
+
+
 def dense_indexed_operator(space: FESpace, gmesh: GeneralMesh) -> np.ndarray:
     """Dense golden operator for general geometry (tiny meshes)."""
     metric = _metric_tables(gmesh, space.degree)
