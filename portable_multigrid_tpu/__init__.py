@@ -30,6 +30,15 @@ from .models.poisson import (
     GeometricMultigridPoisson,
     PolynomialMultigridPoisson,
 )
+from .models.mixed import MixedMultigridPoisson, MixedPrecisionPoisson
+from .models.elasticity import ElasticityMultigrid
+from .ops.elasticity import ElasticityOperator, make_elasticity
+from .ops.indexed import (
+    IndexedLaplaceOperator,
+    make_indexed_laplace,
+    make_unstructured_laplace,
+)
+from .fem.general_mesh import GeneralMesh, perturbed_cube_mesh
 
 __version__ = "0.1.0"
 
@@ -53,4 +62,14 @@ __all__ = [
     "VCycle",
     "GeometricMultigridPoisson",
     "PolynomialMultigridPoisson",
+    "MixedMultigridPoisson",
+    "MixedPrecisionPoisson",
+    "ElasticityMultigrid",
+    "ElasticityOperator",
+    "make_elasticity",
+    "IndexedLaplaceOperator",
+    "make_indexed_laplace",
+    "make_unstructured_laplace",
+    "GeneralMesh",
+    "perturbed_cube_mesh",
 ]

@@ -1,0 +1,76 @@
+"""Tracing / profiling helpers.
+
+The reference's only observability hook is human-readable Kokkos kernel
+names surfacing in nvprof/Kokkos-Tools (reference:
+include/operators/portable_laplace_operator.h:604, :797;
+include/multigrid/portable_geometric_transfer.h:804).  The TPU-native
+equivalents: jax.named_scope annotations (visible in XLA HLO and the
+profiler timeline), jax.profiler traces, and a dispatch-robust timing
+helper (device execution is asynchronous; naive wall-clock timing measures
+dispatch, not compute).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+named_scope = jax.named_scope
+
+
+@contextlib.contextmanager
+def trace(dirname: str):
+    """Capture a jax.profiler trace (open with TensorBoard / Perfetto)."""
+    jax.profiler.start_trace(dirname)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8)) -> float:
+    """Per-iteration wall time of x -> f(x), robust to async dispatch.
+
+    Runs the op inside a single jitted lax.fori_loop, synchronizes through a
+    scalar readback, and returns the slope between two iteration counts —
+    this removes dispatch/RPC overhead and works on backends where
+    block_until_ready is unreliable (e.g. tunneled TPU attachments).
+    """
+    ts = {}
+    for n in iterations:
+
+        @jax.jit
+        def loop(v, n=n):
+            y = jax.lax.fori_loop(0, n, lambda i, u: f(u), v)
+            return jnp.sum(y.ravel()[:1])
+
+        float(loop(x0))  # compile + warm
+        t0 = time.perf_counter()
+        float(loop(x0))
+        ts[n] = time.perf_counter() - t0
+    n0, n1 = iterations
+    return (ts[n1] - ts[n0]) / (n1 - n0)
+
+
+class SolverLog:
+    """Rank-0-style structured logging (the ConditionalOStream analog,
+    reference: source/geometric_multigrid/program.cc:118,132)."""
+
+    def __init__(self, enabled: bool = True, json_lines: bool = False):
+        self.enabled = enabled
+        self.json_lines = json_lines
+        self.records: list[dict] = []
+
+    def log(self, **fields):
+        self.records.append(fields)
+        if not self.enabled:
+            return
+        if self.json_lines:
+            print(json.dumps(fields))
+        else:
+            print(" ".join(f"{k}={v}" for k, v in fields.items()))
