@@ -46,6 +46,11 @@ def main():
     degree = 4
     refinements = int(os.environ.get("PMG_BENCH_REFINEMENTS", "6"))  # 64^3 cells
     variant = os.environ.get("PMG_BENCH_VARIANT", "kron")
+    # 'high' (3-pass bf16, ~f32 accuracy) for the V-cycle preconditioner is
+    # numerically safe (verified in tests/test_mixed.py: even a full-f32
+    # V-cycle preserves the f64 CG convergence history); the reported apply
+    # number uses the same setting.
+    precision = os.environ.get("PMG_BENCH_PRECISION", "high")
     dtype = jnp.float32
 
     from portable_multigrid_tpu.fem.mesh import (
@@ -64,7 +69,7 @@ def main():
     n_dofs = fine.n_dofs
 
     # --- operator apply benchmark -----------------------------------------
-    op = make_laplace(fine, dtype, variant=variant)
+    op = make_laplace(fine, dtype, variant=variant, precision=precision)
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(fine.grid_shape), dtype)
     t_apply = _measure(op.apply, u)
@@ -73,7 +78,7 @@ def main():
     # --- V-cycle benchmark -------------------------------------------------
     levels = []
     for i, sp in enumerate(spaces):
-        lop = make_laplace(sp, dtype, variant=variant)
+        lop = make_laplace(sp, dtype, variant=variant, precision=precision)
         if i == 0:
             sm = make_chebyshev(
                 lop, smoothing_range=1e-3, degree=None,
@@ -101,6 +106,7 @@ def main():
         "degree": degree,
         "dim": dim,
         "variant": variant,
+        "precision": precision,
         "dtype": "float32",
         "device": str(jax.devices()[0]),
     }

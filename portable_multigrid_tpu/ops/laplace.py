@@ -321,7 +321,11 @@ def _diagonal_grid_coef(space: FESpace, coef: np.ndarray) -> np.ndarray:
 
 
 def make_laplace(
-    space: FESpace, dtype=jnp.float64, variant: str = "sumfac", coefficient=None
+    space: FESpace,
+    dtype=jnp.float64,
+    variant: str = "sumfac",
+    coefficient=None,
+    precision: str = "highest",
 ) -> LaplaceOperator:
     """Build the device operator for a space (host-side setup, shipped once).
 
@@ -367,6 +371,7 @@ def make_laplace(
         degree=space.degree,
         n=(space.mesh.cells_per_axis,) * dim,
         variant=variant,
+        precision=precision,
         B=jnp.asarray(b.B, dtype),
         Dco=jnp.asarray(b.Dco, dtype),
         qmetric=jnp.asarray(qm, dtype),
