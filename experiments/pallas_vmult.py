@@ -37,7 +37,7 @@ def to_bands(W: np.ndarray, p: int) -> np.ndarray:
     return bands
 
 
-def build(space, dtype=jnp.float32, bx=8, by=8):
+def build(space, dtype=jnp.float32, bx=8, by=8, interpret=False):
     p = space.degree
     n = space.mesh.cells_per_axis
     N = space.points_per_axis
@@ -49,7 +49,7 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
     # the kernel works on exactly Z = n*p lanes, which must be a multiple
     # of 128.
     Z = n * p
-    if Z % 128 != 0:
+    if Z % 128 != 0 and not interpret:
         raise ValueError(
             f"pallas variant needs n*p % 128 == 0 (got {Z}); use the kron "
             "variant for this size"
@@ -60,22 +60,45 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
     K1, M1 = assembled_1d_matrices(space)
     m1 = space.free_mask_1d()
 
-    # z: mask folded on the host (restriction to [:Z] is exact because the
-    # masked matrices have zero row/col at the last plane); x/y: local block
-    # matrices, masked in-kernel
+    def local_1d(b):
+        """PARTIAL 1D assembly over exactly b cells: boundary rows/cols carry
+        only the block's own cell contributions (completed by the carries).
+        Slicing the global assembly would double-count the shared-plane
+        diagonal blocks."""
+        from portable_multigrid_tpu.fem.basis import make_basis
+
+        bas = make_basis(p)
+        W = np.diag(bas.q_weights)
+        Kc = (bas.D.T @ W @ bas.D) / space.mesh.h
+        Mc = (bas.B.T @ W @ bas.B) * space.mesh.h
+        w = b * p + 1
+        K = np.zeros((w, w))
+        M = np.zeros((w, w))
+        for c in range(b):
+            sl = slice(c * p, c * p + p + 1)
+            K[sl, sl] += Kc
+            M[sl, sl] += Mc
+        return K, M
+
+    # z: the full (unblocked) axis uses the global assembly with the mask
+    # folded on the host (restriction to [:Z] is exact because the masked
+    # matrices have zero row/col at the last plane); x/y: partial block-local
+    # assemblies, masked in-kernel
     Kzm = (m1[:, None] * K1 * m1[None, :])[:Z, :Z]
     Mzm = (m1[:, None] * M1 * m1[None, :])[:Z, :Z]
     Kzb = to_bands(Kzm, p).reshape(nb, 1, 1, Z)
     Mzb = to_bands(Mzm, p).reshape(nb, 1, 1, Z)
-    Kxb = to_bands(K1[:X, :X], p).reshape(nb, X, 1, 1)
-    Mxb = to_bands(M1[:X, :X], p).reshape(nb, X, 1, 1)
-    Kyb = to_bands(K1[:Y, :Y], p).reshape(nb, 1, Y, 1)
-    Myb = to_bands(M1[:Y, :Y], p).reshape(nb, 1, Y, 1)
+    Kxl, Mxl = local_1d(bx)
+    Kyl, Myl = local_1d(by)
+    Kxb = to_bands(Kxl, p).reshape(nb, X, 1, 1)
+    Mxb = to_bands(Mxl, p).reshape(nb, X, 1, 1)
+    Kyb = to_bands(Kyl, p).reshape(nb, 1, Y, 1)
+    Myb = to_bands(Myl, p).reshape(nb, 1, Y, 1)
 
     band_args = [jnp.asarray(v, dtype) for v in (Kzb, Mzb, Kxb, Mxb, Kyb, Myb)]
 
     byp = by * p
-    if byp % 8 != 0:
+    if byp % 8 != 0 and not interpret:
         raise ValueError("pallas variant needs by*p % 8 == 0")
 
     def kernel(u_hbm, Kz_r, Mz_r, Kx_r, Mx_r, Ky_r, My_r, out_hbm,
@@ -194,6 +217,7 @@ def build(space, dtype=jnp.float32, bx=8, by=8):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
+        interpret=interpret,
     )
 
     maskg = jnp.asarray(space.free_mask(), dtype)
