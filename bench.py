@@ -45,7 +45,7 @@ def main():
     dim = 3
     degree = 4
     refinements = int(os.environ.get("PMG_BENCH_REFINEMENTS", "6"))  # 64^3 cells
-    variant = os.environ.get("PMG_BENCH_VARIANT", "kron")
+    variant = os.environ.get("PMG_BENCH_VARIANT", "auto")
     # 'high' (3-pass bf16, ~f32 accuracy) for the V-cycle preconditioner is
     # numerically safe (verified in tests/test_mixed.py: even a full-f32
     # V-cycle preserves the f64 CG convergence history); the reported apply
@@ -59,6 +59,7 @@ def main():
     )
     from portable_multigrid_tpu.fem.space import FESpace
     from portable_multigrid_tpu.ops.laplace import make_laplace
+    from portable_multigrid_tpu.ops.pallas_laplace import make_laplace_auto
     from portable_multigrid_tpu.ops.transfer import make_h_transfer
     from portable_multigrid_tpu.solvers.chebyshev import make_chebyshev
     from portable_multigrid_tpu.solvers.vcycle import MGLevel, VCycle
@@ -68,8 +69,13 @@ def main():
     fine = spaces[-1]
     n_dofs = fine.n_dofs
 
+    def build_op(sp):
+        if variant == "auto":
+            return make_laplace_auto(sp, dtype, precision=precision)
+        return make_laplace(sp, dtype, variant=variant, precision=precision)
+
     # --- operator apply benchmark -----------------------------------------
-    op = make_laplace(fine, dtype, variant=variant, precision=precision)
+    op = build_op(fine)
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal(fine.grid_shape), dtype)
     t_apply = _measure(op.apply, u)
@@ -78,7 +84,7 @@ def main():
     # --- V-cycle benchmark -------------------------------------------------
     levels = []
     for i, sp in enumerate(spaces):
-        lop = make_laplace(sp, dtype, variant=variant, precision=precision)
+        lop = build_op(sp)
         if i == 0:
             sm = make_chebyshev(
                 lop, smoothing_range=1e-3, degree=None,

@@ -120,3 +120,20 @@ def test_variable_coefficient_matches_dense(dim, p, r):
     np.testing.assert_allclose(
         (1.0 / np.asarray(op.inv_diag)).reshape(-1), np.diag(A), rtol=1e-12
     )
+
+
+def test_pallas_operator_interpret_mode():
+    """Fused Pallas kernel (interpret mode on CPU) equals the kron operator,
+    including all carry paths (2x2 blocks)."""
+    import jax
+    import jax.numpy as jnp
+    from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+
+    sp = FESpace(HyperCubeMesh(3, 2), 4)
+    op_k = make_laplace(sp, jnp.float32, variant="kron")
+    op_p = make_pallas_laplace(sp, jnp.float32, bx=2, by=2, interpret=True)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(sp.grid_shape), jnp.float32)
+    a = np.asarray(jax.jit(op_k.apply)(u))
+    b = np.asarray(jax.jit(op_p.apply)(u))
+    np.testing.assert_allclose(b, a, atol=5e-6 * np.abs(a).max())
