@@ -161,7 +161,7 @@ class PallasLaplaceOperator:
             ma = banded(a, My_r, 1)
             raw = banded(mb, Kx_r, 0) + banded(kb + ma, Mx_r, 0)
 
-            wbuf = jax.lax.rem(i, 2)
+            wbuf = jax.lax.rem(i, jnp.int32(2))
             rbuf = 1 - wbuf
             carry_x[wbuf, j] = raw[X - 1]
             tmp_cy = raw[:, Y - 1, :]
