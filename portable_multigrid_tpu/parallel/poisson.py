@@ -40,7 +40,7 @@ from ..ops.transfer import (
     _weights_1d,
     make_h_transfer,
 )
-from ..fem.basis import h_prolongation_matrix_1d
+from ..fem.basis import h_prolongation_matrix_1d, p_prolongation_matrix_1d
 from ..solvers.cg import cg
 from ..solvers.chebyshev import Chebyshev, chebyshev_bounds, estimate_eigenvalues, \
     _pseudo_random_grid
@@ -110,6 +110,31 @@ def _build_stacked_h_transfer(
     )
 
 
+def _build_stacked_p_transfer(
+    coarse: FESpace, fine: FESpace, S: int, dtype
+) -> Transfer:
+    """Stacked polynomial transfer (same mesh, degrees p_c < p_f)."""
+    n = coarse.mesh.cells_per_axis
+    dim = coarse.dim
+    pc, pf = coarse.degree, fine.degree
+    M1 = p_prolongation_matrix_1d(pc, pf)
+    wf_full = _weights_1d(n, pf) * fine.free_mask_1d()
+    mc_full = coarse.free_mask_1d()
+    wf0 = partition_axis0(wf_full, n, pf, S)
+    mc0 = partition_axis0(mc_full, n, pc, S)
+    wmask_f = (jnp.asarray(wf0, dtype),) + (_tile(wf_full, S, dtype),) * (dim - 1)
+    mask_c1 = (jnp.asarray(mc0, dtype),) + (_tile(mc_full, S, dtype),) * (dim - 1)
+    return Transfer(
+        dim=dim,
+        n_coarse=(n // S,) + (n,) * (dim - 1),
+        stride_c=pc,
+        stride_f=pf,
+        M1=_tile(M1, S, dtype),
+        wmask_f=wmask_f,
+        mask_c1=mask_c1,
+    )
+
+
 def _unstack(tree):
     """Drop the leading (sharded, now size-1) axis from every leaf."""
     return jax.tree_util.tree_map(lambda a: a[0], tree)
@@ -158,7 +183,11 @@ class ShardedGeometricPoisson:
             for r in range(min_ref, refinements + 1)
         ]
         self.mesh = Mesh(np.array(self.devices), (AXIS,))
+        self._build_levels(_build_stacked_h_transfer)
 
+    def _build_levels(self, transfer_builder):
+        S = self.n_shards
+        dtype = self.dtype
         # --- stacked level pytrees + eigenvalue bounds from global twins ---
         levels = []
         for i, sp in enumerate(self.spaces):
@@ -185,7 +214,7 @@ class ShardedGeometricPoisson:
                 delta=_tile(np.full((), (beta - alpha) / 2.0), S, dtype),
             )
             transfer = (
-                _build_stacked_h_transfer(self.spaces[i - 1], sp, S, dtype)
+                transfer_builder(self.spaces[i - 1], sp, S, dtype)
                 if i > 0
                 else None
             )
@@ -193,8 +222,10 @@ class ShardedGeometricPoisson:
         self.levels_stacked = tuple(levels)
 
         fine = self.spaces[-1]
+        self.degree = fine.degree
+        self.dim = fine.dim
         self.dot_w = jnp.asarray(
-            dot_weights_axis0(fine.mesh.cells_per_axis, degree, S), dtype
+            dot_weights_axis0(fine.mesh.cells_per_axis, fine.degree, S), dtype
         )
         self._solve_jit = None
 
@@ -285,3 +316,45 @@ class ShardedGeometricPoisson:
             print(f"  Solver converged in {stats.iterations} iterations.")
             print(f"  solution norm: {stats.solution_l2_norm:.6g}")
         return x, stats
+
+
+class ShardedPolynomialPoisson(ShardedGeometricPoisson):
+    """p-multigrid Poisson solve sharded over a 1D device mesh.
+
+    One mesh, degree ladder p_l = degree - (n_levels-1-l) (reference:
+    source/polynomial_multigrid/program.cc:149-159); every level sharded
+    into the same cell slabs.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        degree: int,
+        refinements: int,
+        n_levels: int | None = None,
+        devices=None,
+        dtype=jnp.float64,
+    ):
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        S = len(self.devices)
+        if S & (S - 1):
+            raise ValueError("n_devices must be a power of two")
+        self.n_shards = S
+        self.dtype = dtype
+
+        if n_levels is None:
+            n_levels = degree
+        if n_levels > degree:
+            raise ValueError("n_levels must be <= degree")
+        mesh = HyperCubeMesh(dim, refinements)
+        if mesh.cells_per_axis % S:
+            raise ValueError(
+                f"cells per axis ({mesh.cells_per_axis}) must be divisible "
+                f"by n_devices ({S})"
+            )
+        degrees = [degree - (n_levels - 1 - l) for l in range(n_levels)]
+        self.spaces = [FESpace(mesh, p) for p in degrees]
+        self.mesh = Mesh(np.array(self.devices), (AXIS,))
+        self._build_levels(_build_stacked_p_transfer)

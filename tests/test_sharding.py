@@ -123,3 +123,19 @@ def test_sharded_solve_two_devices():
     assert st.converged
     assert st.iterations <= 10
     assert st.solution_l2_norm == pytest.approx(0.0412615, rel=1e-4)
+
+
+def test_sharded_polynomial_solve_matches_single_device():
+    from portable_multigrid_tpu.parallel.poisson import ShardedPolynomialPoisson
+    from portable_multigrid_tpu.models.poisson import PolynomialMultigridPoisson
+
+    sharded = ShardedPolynomialPoisson(3, 3, 3, 3, devices=jax.devices()[:4])
+    x_s, st_s = sharded.solve()
+    single = PolynomialMultigridPoisson(3, 3, 3, 3)
+    x_1, st_1 = single.solve()
+    assert st_s.converged and st_1.converged
+    scale = np.abs(np.asarray(x_1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_s).reshape(-1), np.asarray(x_1).reshape(-1),
+        atol=1e-10 * scale,
+    )
