@@ -37,20 +37,28 @@ from ..ops.transfer import Transfer
 from ..utils.pytree import pytree_dataclass, static_field
 
 
-def halo_sum(t: jnp.ndarray, axis_name: str, n_shards: int) -> jnp.ndarray:
+def halo_sum(
+    t: jnp.ndarray, axis_name: str, n_shards: int, axis: int = 0
+) -> jnp.ndarray:
     """Sum duplicated boundary-plane contributions with both neighbors.
 
-    t is the local slab [N_loc, ...]; plane 0 is shared with the left
-    neighbor's plane -1 and vice versa.  Non-existent neighbors contribute
-    zeros (ppermute semantics).
+    t is the local slab with the sharded grid direction at ``axis`` (0 for
+    scalar fields, 1 for component-major vector fields); plane 0 is shared
+    with the left neighbor's plane -1 and vice versa.  Non-existent
+    neighbors contribute zeros (ppermute semantics).
     """
     if n_shards == 1:
         return t
+    if axis != 0:
+        t = jnp.moveaxis(t, axis, 0)
     fwd = [(i, i + 1) for i in range(n_shards - 1)]
     bwd = [(i + 1, i) for i in range(n_shards - 1)]
     from_left = jax.lax.ppermute(t[-1:], axis_name, fwd)
     from_right = jax.lax.ppermute(t[:1], axis_name, bwd)
-    return t.at[:1].add(from_left).at[-1:].add(from_right)
+    t = t.at[:1].add(from_left).at[-1:].add(from_right)
+    if axis != 0:
+        t = jnp.moveaxis(t, 0, axis)
+    return t
 
 
 @pytree_dataclass
@@ -111,19 +119,51 @@ class ShardedTransfer:
         return dst + self.restrict(f)
 
 
-def make_sharded_dot(dot_weight_axis0: jnp.ndarray, dim: int, axis_name: str):
+def make_sharded_dot(
+    dot_weight_axis0: jnp.ndarray, dim: int, axis_name: str, lead_axes: int = 0
+):
     """Duplicate-plane-weighted inner product with psum over the mesh axis.
 
     dot_weight_axis0: [N_loc] with 0.5 on planes duplicated with a neighbor,
-    1.0 elsewhere.  The analog of deal.II's owned-partition dot followed by
-    the implicit MPI allreduce (SURVEY.md §5, distributed backend).
+    1.0 elsewhere; ``lead_axes`` leading (component) axes precede the
+    sharded grid axis.  The analog of deal.II's owned-partition dot followed
+    by the implicit MPI allreduce (SURVEY.md §5, distributed backend).
     """
-    w = dot_weight_axis0.reshape((-1,) + (1,) * (dim - 1))
+    w = dot_weight_axis0.reshape(
+        (1,) * lead_axes + (-1,) + (1,) * (dim - 1)
+    )
 
     def dot(a: jnp.ndarray, b: jnp.ndarray):
         return jax.lax.psum(jnp.vdot(a * w, b), axis_name)
 
     return dot
+
+
+@pytree_dataclass
+class ShardedElasticityOperator:
+    """Vector-valued elasticity on slab-sharded grids (component axis 0)."""
+
+    axis_name: str = static_field()
+    n_shards: int = static_field()
+    local: object = None  # ElasticityOperator with local slab arrays
+
+    @property
+    def inv_diag(self):
+        return self.local.inv_diag
+
+    @property
+    def mask(self):
+        return self.local.mask
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        loc = self.local
+        u = u.reshape(loc.shape)
+        m = loc.mask[None]
+        au = loc.apply_bilinear(u * m)
+        au = halo_sum(au, self.axis_name, self.n_shards, axis=1)
+        return m * au + (1.0 - m) * u
+
+    vmult = apply
 
 
 # --------------------------------------------------------------------------

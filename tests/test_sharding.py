@@ -139,3 +139,18 @@ def test_sharded_polynomial_solve_matches_single_device():
         np.asarray(x_s).reshape(-1), np.asarray(x_1).reshape(-1),
         atol=1e-10 * scale,
     )
+
+
+def test_sharded_elasticity_matches_single_device():
+    from portable_multigrid_tpu.parallel.elasticity import ShardedElasticity
+    from portable_multigrid_tpu.models.elasticity import ElasticityMultigrid
+
+    sharded = ShardedElasticity(3, 2, 2, devices=jax.devices()[:4])
+    x_s, st_s = sharded.solve()
+    single = ElasticityMultigrid(3, 2, 2)
+    x_1, st_1 = single.solve()
+    assert st_s.converged and st_1.converged
+    scale = np.abs(np.asarray(x_1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_s), np.asarray(x_1), atol=1e-10 * scale
+    )
