@@ -57,3 +57,44 @@ def test_vtu_output(tmp_path):
     data = zlib.decompress(base64.b64decode(blob[header_b64_len:]))
     vals = np.frombuffer(data, dtype=np.float32).reshape(sp.grid_shape[::-1])
     np.testing.assert_allclose(vals.transpose(), u, rtol=1e-6)
+
+
+def test_iterative_refinement_reaches_f64_accuracy():
+    """f32 inner CG+V-cycle solves, f64 residual refresh: 1e-12 without any
+    f64 inner compute (solvers/refinement.py)."""
+    import jax
+    from portable_multigrid_tpu.fem.assemble import assemble_rhs
+    from portable_multigrid_tpu.models.poisson import GeometricMultigridPoisson
+    from portable_multigrid_tpu.ops.laplace import make_laplace
+    from portable_multigrid_tpu.solvers.cg import cg
+    from portable_multigrid_tpu.solvers.refinement import iterative_refinement
+    from portable_multigrid_tpu.solvers.vcycle import VCycle
+
+    dim, p, r = 2, 2, 4
+    prob32 = GeometricMultigridPoisson(dim, p, r, dtype=jnp.float32)
+    mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+                levels=prob32.levels)
+    fine = prob32.spaces[-1]
+    op64 = make_laplace(fine, jnp.float64)
+    b = jnp.asarray(assemble_rhs(fine), jnp.float64)
+
+    op32 = prob32.levels[-1].op
+
+    @jax.jit
+    def run(op64, op32, mg, b):
+        def inner(r32):
+            return cg(op32.apply, r32, mg.apply, rtol=1e-6).x
+
+        return iterative_refinement(op64.apply, inner, b, rtol=1e-12)
+
+    x, cycles, res = run(op64, op32, mg, b)
+    bnorm = float(np.linalg.norm(np.asarray(b).ravel()))
+    assert float(res) <= 1e-12 * bnorm
+    assert int(cycles) <= 5
+    # matches the all-f64 solve
+    prob64 = GeometricMultigridPoisson(dim, p, r)
+    x64, st = prob64.solve()
+    scale = np.abs(np.asarray(x64)).max()
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x64), atol=1e-10 * scale
+    )
