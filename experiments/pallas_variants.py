@@ -207,18 +207,8 @@ def main():
     op8 = make_pallas_laplace(sp, jnp.float32, bx=8, by=8)
     f8 = jax.jit(op8.apply)
     want = np.asarray(f8(u))
-    results["roll8"] = measure(f8, u)
-    print(f"roll 8x8: {results['roll8']*1e3:.3f} ms", flush=True)
 
-    op16 = make_pallas_laplace(sp, jnp.float32, bx=16, by=16)
-    f16 = jax.jit(op16.apply)
-    got = np.asarray(f16(u))
-    err = np.abs(got - want).max() / np.abs(want).max()
-    results["roll16"] = measure(f16, u)
-    print(f"roll 16x16: {results['roll16']*1e3:.3f} ms (err {err:.1e})",
-          flush=True)
-
-    for prec in ("high", "default"):
+    for prec in ("highest", "default"):
         fz = build_zmxu(sp, jnp.float32, bx=8, by=8, zprec=prec)
         got = np.asarray(fz(u))
         err = np.abs(got - want).max() / np.abs(want).max()

@@ -34,7 +34,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..fem.assemble import assemble_rhs, l2_norm
 from ..fem.mesh import HyperCubeMesh
 from ..fem.space import FESpace
-from ..ops.laplace import LaplaceOperator, _diagonal_grid, make_laplace
+from ..ops.laplace import (
+    LaplaceOperator,
+    _diagonal_grid,
+    assembled_1d_matrices,
+    make_laplace,
+)
 from ..ops.transfer import (
     Transfer,
     _weights_1d,
@@ -62,7 +67,28 @@ def _tile(arr, S, dtype):
     return jnp.broadcast_to(a[None], (S,) + a.shape)
 
 
-def _build_stacked_operator(space: FESpace, S: int, dtype) -> LaplaceOperator:
+def _partial_assembled_1d(space: FESpace, n_cells: int):
+    """PARTIAL 1D assembly over n_cells cells (local slab matrices; boundary
+    rows carry only the slab's own contributions, completed by halo_sum —
+    slicing the global assembly would double-count shared-plane diagonals)."""
+    b = space.basis
+    p = space.degree
+    W = np.diag(b.q_weights)
+    Kc = (b.D.T @ W @ b.D) / space.mesh.h
+    Mc = (b.B.T @ W @ b.B) * space.mesh.h
+    w = n_cells * p + 1
+    K = np.zeros((w, w))
+    M = np.zeros((w, w))
+    for c in range(n_cells):
+        sl = slice(c * p, c * p + p + 1)
+        K[sl, sl] += Kc
+        M[sl, sl] += Mc
+    return K, M
+
+
+def _build_stacked_operator(
+    space: FESpace, S: int, dtype, variant: str = "sumfac", precision="highest"
+) -> LaplaceOperator:
     """LaplaceOperator pytree whose leaves carry a leading shard axis."""
     b = space.basis
     dim = space.dim
@@ -74,15 +100,25 @@ def _build_stacked_operator(space: FESpace, S: int, dtype) -> LaplaceOperator:
     qm = qm * space.mesh.h ** (dim - 2)
     mask = space.free_mask()
     diag = _diagonal_grid(space)
+    Kg = Mg = None
+    if variant == "kron":
+        K1, M1 = assembled_1d_matrices(space)
+        K0, M0 = _partial_assembled_1d(space, n // S)
+        Kg = (_tile(K0, S, dtype),) + (_tile(K1, S, dtype),) * (dim - 1)
+        Mg = (_tile(M0, S, dtype),) + (_tile(M1, S, dtype),) * (dim - 1)
     return LaplaceOperator(
         dim=dim,
         degree=p,
         n=(n // S,) + (n,) * (dim - 1),
+        variant=variant,
+        precision=precision,
         B=_tile(b.B, S, dtype),
         Dco=_tile(b.Dco, S, dtype),
         qmetric=_tile(qm, S, dtype),
         mask=jnp.asarray(partition_axis0(mask, n, p, S), dtype),
         inv_diag=jnp.asarray(partition_axis0(1.0 / diag, n, p, S), dtype),
+        Kg=Kg,
+        Mg=Mg,
     )
 
 
@@ -161,6 +197,7 @@ class ShardedGeometricPoisson:
         refinements: int,
         devices=None,
         dtype=jnp.float64,
+        variant: str = "sumfac",
     ):
         if devices is None:
             devices = jax.devices()
@@ -172,6 +209,7 @@ class ShardedGeometricPoisson:
         self.dtype = dtype
         self.dim = dim
         self.degree = degree
+        self.variant = variant
 
         min_ref = max(int(math.ceil(math.log2(max(S, 1)))), 0)
         if refinements < min_ref:
@@ -190,8 +228,9 @@ class ShardedGeometricPoisson:
         dtype = self.dtype
         # --- stacked level pytrees + eigenvalue bounds from global twins ---
         levels = []
+        variant = getattr(self, "variant", "sumfac")
         for i, sp in enumerate(self.spaces):
-            op_stacked = _build_stacked_operator(sp, S, dtype)
+            op_stacked = _build_stacked_operator(sp, S, dtype, variant=variant)
             twin = make_laplace(sp, dtype)
             if i == 0:
                 n_iter = min(sp.n_dofs, 128)

@@ -154,3 +154,18 @@ def test_sharded_elasticity_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(x_s), np.asarray(x_1), atol=1e-10 * scale
     )
+
+
+def test_sharded_kron_variant_matches_single_device():
+    sharded = ShardedGeometricPoisson(
+        3, 2, 3, devices=jax.devices()[:4], variant="kron"
+    )
+    x_s, st_s = sharded.solve()
+    single = GeometricMultigridPoisson(3, 2, 3)
+    x_1, st_1 = single.solve()
+    assert st_s.converged
+    scale = np.abs(np.asarray(x_1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_s).reshape(-1), np.asarray(x_1).reshape(-1),
+        atol=1e-9 * scale,
+    )
