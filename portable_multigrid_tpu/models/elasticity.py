@@ -7,8 +7,6 @@ driver — the operator and vectors are just vector-valued)."""
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..fem.assemble import assemble_rhs, l2_norm
 from ..fem.mesh import HyperCubeMesh, geometric_coarsening_sequence
 from ..fem.space import FESpace
-from ..ops.laplace import LaplaceOperator, make_laplace
+from ..ops.laplace import make_laplace
 from ..ops.transfer import make_h_transfer, make_p_transfer
 from ..solvers.cg import CGResult, cg
 from ..solvers.chebyshev import make_chebyshev

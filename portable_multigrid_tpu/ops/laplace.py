@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..fem.basis import make_basis
 from ..fem.space import FESpace
 from ..utils.pytree import pytree_dataclass, static_field
-from .structured import PRECISION, contract, overlap_add_all, split_all
+from .structured import contract, overlap_add_all, split_all
 
 
 @pytree_dataclass

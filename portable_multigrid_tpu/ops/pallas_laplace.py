@@ -31,8 +31,6 @@ elsewhere.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,8 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fem.basis import make_basis
 from ..fem.space import FESpace
 from ..utils.pytree import pytree_dataclass, static_field
-from .laplace import LaplaceOperator, _diagonal_grid, assembled_1d_matrices, \
-    make_laplace
+from .laplace import _diagonal_grid, assembled_1d_matrices, make_laplace
 
 
 def to_bands(W: np.ndarray, p: int) -> np.ndarray:

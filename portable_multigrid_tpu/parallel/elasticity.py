@@ -19,7 +19,6 @@ from ..fem.mesh import HyperCubeMesh
 from ..fem.space import FESpace
 from ..ops.elasticity import ElasticityOperator, _elasticity_diagonal, \
     make_elasticity
-from ..ops.transfer import Transfer
 from ..solvers.cg import cg
 from ..solvers.chebyshev import Chebyshev, chebyshev_bounds, \
     estimate_eigenvalues, _pseudo_random_grid

@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -40,11 +38,7 @@ from ..ops.laplace import (
     assembled_1d_matrices,
     make_laplace,
 )
-from ..ops.transfer import (
-    Transfer,
-    _weights_1d,
-    make_h_transfer,
-)
+from ..ops.transfer import Transfer, _weights_1d
 from ..fem.basis import h_prolongation_matrix_1d, p_prolongation_matrix_1d
 from ..solvers.cg import cg
 from ..solvers.chebyshev import Chebyshev, chebyshev_bounds, estimate_eigenvalues, \

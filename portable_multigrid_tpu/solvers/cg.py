@@ -9,7 +9,6 @@ preconditioner (the multigrid V-cycle) is traced into the loop body.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

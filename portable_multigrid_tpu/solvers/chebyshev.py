@@ -36,9 +36,6 @@ applications plus d diagonal scalings, matching deal.II's cost model
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable
-
 import numpy as np
 import jax
 import jax.numpy as jnp
