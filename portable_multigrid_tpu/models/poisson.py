@@ -53,7 +53,12 @@ class SolveStats:
 
 
 def _build_level(space: FESpace, dtype, coarse: bool, variant: str = "sumfac") -> MGLevel:
-    op = make_laplace(space, dtype, variant=variant)
+    if variant == "auto":
+        from ..ops.pallas_laplace import make_laplace_auto
+
+        op = make_laplace_auto(space, dtype)
+    else:
+        op = make_laplace(space, dtype, variant=variant)
     if coarse:
         smoother = make_chebyshev(
             op,

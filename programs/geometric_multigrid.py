@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--cycles", type=int, default=None,
                     help="refinement cycles (default: 9 - dim, as the reference)")
     ap.add_argument("--variant", default="kron",
-                    choices=["sumfac", "dense", "kron"])
+                    choices=["sumfac", "dense", "kron", "auto"])
     ap.add_argument("--f32", action="store_true",
                     help="solve in float32 (default float64)")
     ap.add_argument("--rtol", type=float, default=None)
