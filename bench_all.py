@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # for the mixed-precision config
     import jax.numpy as jnp
 
     from portable_multigrid_tpu.models.poisson import (

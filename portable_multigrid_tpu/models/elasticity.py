@@ -7,6 +7,8 @@ driver — the operator and vectors are just vector-valued)."""
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -79,11 +81,14 @@ class ElasticityMultigrid:
         mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
                     levels=self.levels)
 
-        @jax.jit
-        def run(fine_op, mg, b):
-            return cg(fine_op.apply, b, mg.apply, rtol=rtol)
+        if not hasattr(self, "_run"):
+            @partial(jax.jit, static_argnames=("rtol",))
+            def run(fine_op, mg, b, rtol):
+                return cg(fine_op.apply, b, mg.apply, rtol=rtol)
 
-        res = run(self.levels[-1].op, mg, rhs)
+            self._run = run
+
+        res = self._run(self.levels[-1].op, mg, rhs, rtol)
         x = np.asarray(res.x, dtype=np.float64)
         norm = float(
             np.sqrt(sum(l2_norm(fine, x[c]) ** 2 for c in range(dim)))

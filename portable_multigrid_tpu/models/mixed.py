@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -69,11 +71,14 @@ class MixedMultigridPoisson:
         mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
                     levels=self.levels)
 
-        @jax.jit
-        def run(fine_op, mg, b):
-            return cg(fine_op.apply, b, mg.apply, rtol=rtol)
+        if not hasattr(self, "_run"):
+            @partial(jax.jit, static_argnames=("rtol",))
+            def run(fine_op, mg, b, rtol):
+                return cg(fine_op.apply, b, mg.apply, rtol=rtol)
 
-        res = run(self.levels[-1].op, mg, rhs)
+            self._run = run
+
+        res = self._run(self.levels[-1].op, mg, rhs, rtol)
         x = np.asarray(res.x, dtype=np.float64)
         stats = SolveStats(
             iterations=int(res.iterations),
@@ -125,14 +130,17 @@ class MixedPrecisionPoisson:
                     levels=self.levels)
         mg_dtype = self.mg_dtype
 
-        @jax.jit
-        def run(op64, mg, b):
-            def precond(r):
-                return mg.apply(r.astype(mg_dtype)).astype(jnp.float64)
+        if not hasattr(self, "_run"):
+            @partial(jax.jit, static_argnames=("rtol",))
+            def run(op64, mg, b, rtol):
+                def precond(r):
+                    return mg.apply(r.astype(mg_dtype)).astype(jnp.float64)
 
-            return cg(op64.apply, b, precond, rtol=rtol)
+                return cg(op64.apply, b, precond, rtol=rtol)
 
-        res = run(self.fine_op64, mg, rhs)
+            self._run = run
+
+        res = self._run(self.fine_op64, mg, rhs, rtol)
         x = np.asarray(res.x, dtype=np.float64)
         stats = SolveStats(
             iterations=int(res.iterations),
