@@ -169,3 +169,28 @@ def test_sharded_kron_variant_matches_single_device():
         np.asarray(x_s).reshape(-1), np.asarray(x_1).reshape(-1),
         atol=1e-9 * scale,
     )
+
+
+def test_2d_device_mesh_matches_single_device():
+    """Pencil decomposition over a 4x2 device mesh (halo order handles the
+    4-way corner duplication transitively)."""
+    from portable_multigrid_tpu.parallel.mesh2d import Sharded2DGeometricPoisson
+
+    prob = Sharded2DGeometricPoisson(3, 2, 3, mesh_shape=(4, 2))
+    x, st = prob.solve()
+    single = GeometricMultigridPoisson(3, 2, 3)
+    x1, _ = single.solve()
+    assert st.converged
+    scale = np.abs(np.asarray(x1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x1), atol=1e-9 * scale
+    )
+
+
+def test_2d_device_mesh_2x2():
+    from portable_multigrid_tpu.parallel.mesh2d import Sharded2DGeometricPoisson
+
+    prob = Sharded2DGeometricPoisson(2, 3, 3, mesh_shape=(2, 2))
+    x, st = prob.solve()
+    assert st.converged
+    assert st.solution_l2_norm == pytest.approx(0.0412615, rel=1e-4)
