@@ -52,8 +52,11 @@ class VCycle:
         if level == 0:
             # coarse "solve" = one Chebyshev-as-solver smooth from zero
             return lvl.smoother.apply(src)
-        u = jnp.zeros_like(src)
-        for _ in range(self.pre_smoothing_steps):
+        # first pre-smooth acts on the zero initial guess: r = src - A*0 =
+        # src, so the residual apply is skipped (exact; the reference pays
+        # this apply, see portable_v_cycle_multigrid.h:120 with u = 0)
+        u = lvl.smoother.apply(src)
+        for _ in range(self.pre_smoothing_steps - 1):
             u = self._smooth(level, u, src)
         residual = src - lvl.op.apply(u)
         coarse_residual = lvl.transfer.restrict(residual)
