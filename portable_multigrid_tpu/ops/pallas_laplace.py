@@ -289,7 +289,12 @@ def make_pallas_laplace(
 
 def make_laplace_auto(space: FESpace, dtype=jnp.float32, precision="high"):
     """Fastest eligible operator: fused Pallas kernel where it applies,
-    assembled-Kronecker XLA path otherwise."""
-    if pallas_eligible(space) and dtype == jnp.float32:
-        return make_pallas_laplace(space, dtype)
+    assembled-Kronecker XLA path otherwise.  16x16 cell blocks measure ~8%
+    faster than 8x8 (fewer grid steps) and are preferred when they fit."""
+    if dtype == jnp.float32:
+        for b in (16, 8):
+            if pallas_eligible(space, b, b) and (b * space.degree + 1) ** 2 * (
+                space.mesh.cells_per_axis * space.degree
+            ) * 4 * 8 < 100 * 1024 * 1024:
+                return make_pallas_laplace(space, dtype, bx=b, by=b)
     return make_laplace(space, dtype, variant="kron", precision=precision)
