@@ -33,16 +33,6 @@ from ..solvers.vcycle import MGLevel, VCycle
 
 
 @dataclasses.dataclass
-class SmootherConfig:
-    """Per-level smoother settings (reference:
-    source/geometric_multigrid/program.cc:267-279)."""
-
-    smoothing_range: float = 15.0
-    degree: int | None = 5
-    eig_cg_n_iterations: int = 10
-
-
-@dataclasses.dataclass
 class SolveStats:
     iterations: int
     residual_norm: float
@@ -52,8 +42,18 @@ class SolveStats:
     dofs_per_level: list
 
 
-def _build_level(space: FESpace, dtype, coarse: bool, variant: str = "sumfac") -> MGLevel:
-    if variant == "auto":
+def _build_level(
+    space: FESpace,
+    dtype,
+    coarse: bool,
+    variant: str = "sumfac",
+    coefficient=None,
+) -> MGLevel:
+    if coefficient is not None:
+        # variable coefficients force the sumfac path; coarse levels are
+        # re-discretizations of the same coefficient (standard geometric MG)
+        op = make_laplace(space, dtype, variant="sumfac", coefficient=coefficient)
+    elif variant == "auto":
         from ..ops.pallas_laplace import make_laplace_auto
 
         op = make_laplace_auto(space, dtype)
@@ -81,9 +81,11 @@ def _solve(fine_op, mg: VCycle, rhs, rtol: float) -> CGResult:
 class _MultigridPoissonBase:
     """Common machinery: build levels, solve, report."""
 
-    def __init__(self, dtype=jnp.float64, variant: str = "sumfac"):
+    def __init__(self, dtype=jnp.float64, variant: str = "sumfac",
+                 coefficient=None):
         self.dtype = dtype
         self.variant = variant
+        self.coefficient = coefficient
         self.levels: tuple[MGLevel, ...] = ()
         self.spaces: list[FESpace] = []
 
@@ -91,7 +93,8 @@ class _MultigridPoissonBase:
         levels = []
         for i, sp in enumerate(spaces):
             op, smoother = _build_level(
-                sp, self.dtype, coarse=(i == 0), variant=self.variant
+                sp, self.dtype, coarse=(i == 0), variant=self.variant,
+                coefficient=self.coefficient,
             )
             transfer = (
                 make_transfer(spaces[i - 1], sp, self.dtype) if i > 0 else None
@@ -148,8 +151,9 @@ class GeometricMultigridPoisson(_MultigridPoissonBase):
         refinements: int,
         dtype=jnp.float64,
         variant: str = "sumfac",
+        coefficient=None,
     ):
-        super().__init__(dtype, variant)
+        super().__init__(dtype, variant, coefficient)
         mesh = HyperCubeMesh(dim, refinements)
         meshes = geometric_coarsening_sequence(mesh)
         spaces = [FESpace(m, degree) for m in meshes]

@@ -171,17 +171,13 @@ class ShardedElasticity:
         dim = self.dim
         n = fine.mesh.cells_per_axis
         rhs_scalar = assemble_rhs(fine)
-        rhs_st = np.stack(
-            [
-                np.broadcast_to(
-                    partition_axis0(rhs_scalar, n, self.degree, S)[s][None],
-                    (dim,)
-                    + partition_axis0(rhs_scalar, n, self.degree, S)[s].shape,
-                )
-                for s in range(S)
-            ]
+        parts = partition_axis0(rhs_scalar, n, self.degree, S)
+        rhs_st = jnp.asarray(
+            np.stack(
+                [np.broadcast_to(p_[None], (dim,) + p_.shape) for p_ in parts]
+            ),
+            self.dtype,
         )
-        rhs_st = jnp.asarray(rhs_st, self.dtype)
 
         if self._solve_jit is None:
 

@@ -154,3 +154,18 @@ def test_unstructured_solve_matches_dense():
     np.testing.assert_allclose(
         np.asarray(res.x), x_dense, atol=1e-8 * np.abs(x_dense).max()
     )
+
+
+def test_native_valence_weights():
+    from portable_multigrid_tpu.native import (
+        native_available,
+        valence_weights_native,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    sp = FESpace(HyperCubeMesh(3, 2), 2)
+    l2g = sp.local_to_global()
+    w = valence_weights_native(l2g, sp.n_dofs)
+    counts = np.bincount(l2g.reshape(-1), minlength=sp.n_dofs)
+    np.testing.assert_allclose(w, 1.0 / counts)

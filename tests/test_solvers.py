@@ -148,3 +148,26 @@ def test_l2_norm_regression_3d():
     prob = GeometricMultigridPoisson(3, 2, 2)
     _, st = prob.solve()
     assert st.solution_l2_norm == pytest.approx(0.025011634, rel=1e-6)
+
+
+def test_variable_coefficient_multigrid_solve():
+    """Rediscretized-coarse-level MG for a(u,v)=∫c∇u·∇v with smooth c(x):
+    O(1) iterations and dense-solve parity (BASELINE config 4)."""
+    from portable_multigrid_tpu.fem.assemble import dense_operator_coefficient
+
+    def c(*xs):
+        out = 1.0
+        for x in xs:
+            out = out + 0.5 * np.sin(3 * x)
+        return out
+
+    prob = GeometricMultigridPoisson(2, 2, 3, coefficient=c)
+    x, st = prob.solve()
+    assert st.converged and st.iterations <= 10
+    sp = FESpace(HyperCubeMesh(2, 3), 2)
+    A = dense_operator_coefficient(sp, c)
+    b = assemble_rhs(sp).reshape(-1)
+    want = np.linalg.solve(A, b)
+    np.testing.assert_allclose(
+        np.asarray(x).reshape(-1), want, atol=1e-9 * np.abs(want).max()
+    )
