@@ -289,10 +289,15 @@ def make_pallas_laplace(
 
 def make_laplace_auto(space: FESpace, dtype=jnp.float32, precision="high"):
     """Fastest eligible operator: fused Pallas kernel where it applies,
-    assembled-Kronecker XLA path otherwise.  16x16 cell blocks measure ~8%
-    faster than 8x8 (fewer grid steps) and are preferred when they fit."""
+    assembled-Kronecker XLA path otherwise.
+
+    Block-size choice: 8x8 cells measured fastest inside full V-cycles
+    (16x16 wins isolated apply micro-benchmarks via DMA pipelining across
+    chained calls, but loses in composed programs where the few large grid
+    steps pipeline poorly); 16x16 is used only on very large grids."""
     if dtype == jnp.float32:
-        for b in (16, 8):
+        blocks = (16, 8) if space.mesh.cells_per_axis >= 128 else (8,)
+        for b in blocks:
             if pallas_eligible(space, b, b) and (b * space.degree + 1) ** 2 * (
                 space.mesh.cells_per_axis * space.degree
             ) * 4 * 8 < 100 * 1024 * 1024:
