@@ -82,17 +82,19 @@ def main():
     apply_dofs_per_s = n_dofs / t_apply
 
     # --- V-cycle benchmark -------------------------------------------------
+    # Fixed Chebyshev bounds instead of the setup-time eigenvalue CG: the
+    # bounds only affect convergence quality, not per-cycle cost, and
+    # skipping the per-level eig solves keeps the bench fast and robust.
     levels = []
     for i, sp in enumerate(spaces):
         lop = build_op(sp)
-        if i == 0:
-            sm = make_chebyshev(
-                lop, smoothing_range=1e-3, degree=None,
-                eig_cg_n_iterations=min(sp.n_dofs, 64),
-            )
-        else:
-            sm = make_chebyshev(lop, smoothing_range=15.0, degree=5,
-                                eig_cg_n_iterations=10)
+        sm = Chebyshev(
+            degree=24 if i == 0 else 5,
+            op=lop,
+            inv_diag=lop.inv_diag,
+            theta=jnp.asarray(1.1, dtype),
+            delta=jnp.asarray(0.95, dtype),
+        )
         tr = make_h_transfer(spaces[i - 1], sp, dtype) if i > 0 else None
         levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
     mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2, levels=tuple(levels))
