@@ -61,7 +61,7 @@ def main():
     from portable_multigrid_tpu.ops.laplace import make_laplace
     from portable_multigrid_tpu.ops.pallas_laplace import make_laplace_auto
     from portable_multigrid_tpu.ops.transfer import make_h_transfer
-    from portable_multigrid_tpu.solvers.chebyshev import make_chebyshev
+    from portable_multigrid_tpu.solvers.chebyshev import Chebyshev
     from portable_multigrid_tpu.solvers.vcycle import MGLevel, VCycle
 
     mesh = HyperCubeMesh(dim, refinements)

@@ -212,8 +212,16 @@ class LaplaceOperator:
         au = self.apply_bilinear(u * self.mask)
         return self.mask * au + (1.0 - self.mask) * u
 
-    # vmult alias mirroring the reference naming
+    # aliases mirroring the reference interface (the operator is symmetric,
+    # so Tvmult == vmult; m() == n() == n_dofs — reference:
+    # include/base/portable_laplace_operator_base.h:16-60; note `n` the
+    # FIELD is cells-per-axis, so the square-size alias is `m` only)
     vmult = apply
+    Tvmult = apply
+
+    @property
+    def m(self) -> int:
+        return self.n_dofs
 
     def diagonal(self) -> jnp.ndarray:
         return 1.0 / self.inv_diag

@@ -48,6 +48,7 @@ from .sharding import (
     ShardedLaplaceOperator,
     ShardedTransfer,
     dot_weights_axis0,
+    estimate_eigenvalues_sharded,
     make_sharded_dot,
     partition_axis0,
     unpartition_axis0,
@@ -192,6 +193,7 @@ class ShardedGeometricPoisson:
         devices=None,
         dtype=jnp.float64,
         variant: str = "sumfac",
+        sharded_setup: bool = False,
     ):
         if devices is None:
             devices = jax.devices()
@@ -204,6 +206,7 @@ class ShardedGeometricPoisson:
         self.dim = dim
         self.degree = degree
         self.variant = variant
+        self.sharded_setup = sharded_setup
 
         min_ref = max(int(math.ceil(math.log2(max(S, 1)))), 0)
         if refinements < min_ref:
@@ -220,24 +223,35 @@ class ShardedGeometricPoisson:
     def _build_levels(self, transfer_builder):
         S = self.n_shards
         dtype = self.dtype
-        # --- stacked level pytrees + eigenvalue bounds from global twins ---
+        # stacked level pytrees + eigenvalue bounds (sharded CG-Lanczos when
+        # requested — no single-device twin needed at scale — else twins)
         levels = []
         variant = getattr(self, "variant", "sumfac")
+        sharded_setup = getattr(self, "sharded_setup", False)
         for i, sp in enumerate(self.spaces):
             op_stacked = _build_stacked_operator(sp, S, dtype, variant=variant)
-            twin = make_laplace(sp, dtype)
-            if i == 0:
-                n_iter = min(sp.n_dofs, 128)
-                rng_v = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
+            n_iter = min(sp.n_dofs, 128) if i == 0 else 10
+            rng_v = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
+            if sharded_setup:
+                n = sp.mesh.cells_per_axis
+                v0_st = jnp.asarray(
+                    partition_axis0(rng_v, n, sp.degree, S), dtype
+                )
+                w_st = jnp.asarray(
+                    dot_weights_axis0(n, sp.degree, S), dtype
+                )
+                mn, mx = estimate_eigenvalues_sharded(
+                    op_stacked, self.mesh, AXIS, S, w_st, self.dim,
+                    n_iter, v0_st,
+                )
+            else:
+                twin = make_laplace(sp, dtype)
                 mn, mx = estimate_eigenvalues(
                     twin, twin.inv_diag, n_iter, jnp.asarray(rng_v, dtype)
                 )
+            if i == 0:
                 alpha, beta, deg = chebyshev_bounds(mn, mx, 1e-3, None)
             else:
-                rng_v = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
-                mn, mx = estimate_eigenvalues(
-                    twin, twin.inv_diag, 10, jnp.asarray(rng_v, dtype)
-                )
                 alpha, beta, deg = chebyshev_bounds(mn, mx, 15.0, 5)
             smoother = Chebyshev(
                 degree=deg,

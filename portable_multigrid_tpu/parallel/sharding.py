@@ -215,3 +215,87 @@ def dot_weights_axis0(n_cells: int, degree: int, n_shards: int):
             w[-1] = 0.5
         out.append(w)
     return np.stack(out)
+
+
+def estimate_eigenvalues_sharded(
+    op_stacked,
+    mesh,
+    axis_name: str,
+    n_shards: int,
+    dot_weight_stacked,
+    dim: int,
+    n_iter: int,
+    v0_stacked,
+):
+    """CG-Lanczos eigenvalue estimation run INSIDE shard_map.
+
+    The 1D-mesh analog of solvers/chebyshev.py:estimate_eigenvalues, for
+    levels too large for a single-device twin: the level operator applies
+    shard-locally with halo exchange and the CG coefficients reduce with the
+    duplicate-plane-weighted psum dot.  Returns (min_eig, max_eig).
+    """
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from ..solvers.chebyshev import estimate_eigenvalues
+
+    def run_local(op_st, w_st, v_st):
+        import jax.tree_util as jtu
+
+        op_loc = jtu.tree_map(lambda a: a[0], op_st)
+        sop = ShardedLaplaceOperator(
+            axis_name=axis_name, n_shards=n_shards, local=op_loc
+        )
+        dot = make_sharded_dot(w_st[0], dim, axis_name)
+        b = v_st[0]
+        r = b
+        x = jnp.zeros_like(b)
+        z = sop.inv_diag * r
+        rz = dot(r, z)
+
+        def step(carry, _):
+            x, r, p, rz, stop = carry
+            Ap = sop.apply(p)
+            pAp = dot(p, Ap)
+            bad = jnp.logical_or(stop, pAp <= 0.0)
+            alpha = jnp.where(bad, jnp.inf, rz / jnp.where(pAp == 0, 1.0, pAp))
+            x = x + jnp.where(bad, 0.0, alpha) * p
+            r = r - jnp.where(bad, 0.0, alpha) * Ap
+            z = sop.inv_diag * r
+            rz_new = dot(r, z)
+            beta = jnp.where(bad, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
+            p = z + beta * p
+            stop = jnp.logical_or(bad, rz_new <= 1e-300)
+            return (x, r, p, rz_new, stop), (alpha, beta)
+
+        _, (alphas, betas) = jax.lax.scan(
+            step, (x, r, z, rz, jnp.bool_(False)), None, length=n_iter
+        )
+        return alphas, betas
+
+    f = jax.jit(
+        jax.shard_map(
+            run_local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    alphas, betas = f(op_stacked, dot_weight_stacked, v0_stacked)
+    # reuse the host-side Lanczos tridiagonal post-processing
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    valid = np.isfinite(alphas) & (alphas != 0)
+    k = int(np.sum(np.cumprod(valid)))
+    if k == 0:
+        return 1.0, 1.0
+    a, b = alphas[:k], betas[:k]
+    diag = 1.0 / a
+    diag[1:] += b[:-1] / a[:-1]
+    off = np.sqrt(np.maximum(b[:-1], 0.0)) / a[:-1]
+    T = np.diag(diag)
+    if k > 1:
+        T += np.diag(off, 1) + np.diag(off, -1)
+    ev = np.linalg.eigvalsh(T)
+    return float(ev[0]), float(ev[-1])

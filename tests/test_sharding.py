@@ -194,3 +194,19 @@ def test_2d_device_mesh_2x2():
     x, st = prob.solve()
     assert st.converged
     assert st.solution_l2_norm == pytest.approx(0.0412615, rel=1e-4)
+
+
+def test_sharded_eigenvalue_setup_matches_twin():
+    """Fully-sharded setup (eig CG inside shard_map) gives the same solve as
+    the single-device-twin setup — no chip needs to hold the global level."""
+    a = ShardedGeometricPoisson(
+        3, 2, 3, devices=jax.devices()[:4], variant="kron", sharded_setup=True
+    )
+    x_a, st_a = a.solve()
+    b = ShardedGeometricPoisson(3, 2, 3, devices=jax.devices()[:4],
+                                variant="kron")
+    x_b, st_b = b.solve()
+    assert st_a.converged and st_a.iterations == st_b.iterations
+    scale = np.abs(np.asarray(x_b)).max()
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b),
+                               atol=1e-10 * scale)
