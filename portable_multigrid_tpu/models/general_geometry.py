@@ -1,0 +1,167 @@
+"""Geometric multigrid on general (non-affine) geometry.
+
+The reference supports arbitrary deal.II meshes through MappingQ-dependent
+geometry tables even though its drivers only run cubes; this model provides
+the same capability end-to-end: indexed operators with per-quadrature-point
+Jacobians (ops/indexed.py) on a hierarchy of nested-topology meshes, with
+rediscretized coarse operators.
+
+Key observation: grid-transfer operators act on REFERENCE-cell DoFs and are
+geometry-independent (deal.II's global-coarsening transfers likewise), so
+the structured h-transfer applies unchanged; only the operators carry the
+curved geometry.  The mesh hierarchy subsamples the fine vertex grid (every
+2^k-th vertex), which is exactly a coarsening of the same deformed domain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem.general_mesh import GeneralMesh
+from ..fem.mesh import HyperCubeMesh
+from ..fem.space import FESpace
+from ..ops.indexed import make_indexed_laplace
+from ..ops.transfer import make_h_transfer
+from ..solvers.cg import cg
+from ..solvers.chebyshev import make_chebyshev
+from ..solvers.vcycle import MGLevel, VCycle
+from .poisson import SolveStats
+
+
+from ..utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class FlatTransfer:
+    """Grid transfer adapted to flat (indexed-path) vectors."""
+
+    coarse_shape: tuple = static_field()
+    fine_shape: tuple = static_field()
+    inner: object = None
+
+    def prolongate(self, c):
+        return self.inner.prolongate(c.reshape(self.coarse_shape)).reshape(-1)
+
+    def prolongate_and_add(self, dst, c):
+        return dst + self.prolongate(c)
+
+    def restrict(self, f):
+        return self.inner.restrict(f.reshape(self.fine_shape)).reshape(-1)
+
+    def restrict_and_add(self, dst, f):
+        return dst + self.restrict(f)
+
+
+def coarsen_vertex_grid(gmesh: GeneralMesh, dim: int, n_fine: int) -> GeneralMesh:
+    """Subsample a structured-topology vertex grid by 2 in every direction."""
+    from ..fem.general_mesh import structured_as_general
+
+    V = n_fine + 1
+    verts = gmesh.vertices.reshape((V,) * dim + (dim,))
+    sl = (slice(None, None, 2),) * dim
+    coarse_verts = verts[sl].reshape(-1, dim)
+    n_c = n_fine // 2
+    import math
+
+    topo = structured_as_general(HyperCubeMesh(dim, int(math.log2(n_c))))
+    return GeneralMesh(vertices=coarse_verts, cells=topo.cells)
+
+
+class GeneralGeometryMultigrid:
+    """h-multigrid Poisson on a deformed (structured-topology) mesh."""
+
+    def __init__(
+        self,
+        gmesh: GeneralMesh,
+        degree: int,
+        refinements: int,
+        dtype=jnp.float64,
+    ):
+        """gmesh: deformed mesh with structured topology and 2^refinements
+        cells per axis (e.g. from fem.general_mesh.perturbed_cube_mesh)."""
+        self.dtype = dtype
+        dim = gmesh.dim
+        n = 1 << refinements
+
+        meshes = [gmesh]
+        for r in range(refinements, 0, -1):
+            meshes.append(coarsen_vertex_grid(meshes[-1], dim, 1 << r))
+        meshes = meshes[::-1]  # coarsest first
+        self.spaces = [
+            FESpace(HyperCubeMesh(dim, r), degree)
+            for r in range(refinements + 1)
+        ]
+        self.gmeshes = meshes
+
+        levels = []
+        for i, (sp, gm) in enumerate(zip(self.spaces, meshes)):
+            op = make_indexed_laplace(sp, gm, dtype)
+            if i == 0:
+                sm = make_chebyshev(
+                    op,
+                    smoothing_range=1e-3,
+                    degree=None,
+                    eig_cg_n_iterations=sp.n_dofs,
+                    free_mask=sp.free_mask().reshape(-1),
+                )
+            else:
+                sm = make_chebyshev(
+                    op, smoothing_range=15.0, degree=5,
+                    eig_cg_n_iterations=10,
+                    free_mask=sp.free_mask().reshape(-1),
+                )
+            tr = make_h_transfer(self.spaces[i - 1], sp, dtype) if i else None
+            levels.append(MGLevel(op=op, smoother=sm, transfer=tr))
+        self.levels = tuple(levels)
+
+    def solve(self, rhs: np.ndarray | None = None, rtol: float = 1e-12,
+              verbose: bool = False):
+        """rhs defaults to a masked random vector (no general-geometry host
+        quadrature for f; pass your own assembled rhs for a specific f)."""
+        fine_sp = self.spaces[-1]
+        if rhs is None:
+            rng = np.random.default_rng(0)
+            rhs = rng.standard_normal(fine_sp.n_dofs) * (
+                fine_sp.free_mask().reshape(-1)
+            )
+        rhs = jnp.asarray(np.asarray(rhs).reshape(-1), self.dtype)
+
+        # indexed operators act on flat vectors; transfers act on grids —
+        # wrap transfers with reshapes (pytree, so everything jits cleanly)
+        glevels = tuple(
+            MGLevel(
+                op=lvl.op,
+                smoother=lvl.smoother,
+                transfer=(
+                    FlatTransfer(
+                        coarse_shape=self.spaces[i - 1].grid_shape,
+                        fine_shape=self.spaces[i].grid_shape,
+                        inner=lvl.transfer,
+                    )
+                    if lvl.transfer is not None
+                    else None
+                ),
+            )
+            for i, lvl in enumerate(self.levels)
+        )
+
+        @jax.jit
+        def run(fine_op, mg, b):
+            return cg(fine_op.apply, b, mg.apply, rtol=rtol)
+
+        mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+                    levels=glevels)
+        res = run(self.levels[-1].op, mg, rhs)
+        stats = SolveStats(
+            iterations=int(res.iterations),
+            residual_norm=float(res.residual_norm),
+            converged=bool(res.converged),
+            solution_l2_norm=float(np.linalg.norm(np.asarray(res.x))),
+            n_dofs=fine_sp.n_dofs,
+            dofs_per_level=[sp.n_dofs for sp in self.spaces],
+        )
+        if verbose:
+            print(f"  Solver converged in {stats.iterations} iterations.")
+        return res.x, stats

@@ -151,10 +151,21 @@ class PallasLaplaceOperator:
                     acc += bands_ref[p - o] * pltpu.roll(t, o, axis=axis)
                 return acc
 
-            b = banded(um, Mz_r, 2)
-            a = banded(um, Kz_r, 2)
-            mb = banded(b, My_r, 1)
-            kb = banded(b, Ky_r, 1)
+            def banded_pair(t, bandsA, bandsB, axis):
+                """Two banded contractions of the SAME input share one set of
+                rolls (the shifted copies dominate kernel time)."""
+                L = t.shape[axis]
+                accA = bandsA[p] * t
+                accB = bandsB[p] * t
+                for o in range(1, p + 1):
+                    tl = pltpu.roll(t, L - o, axis=axis)
+                    tr = pltpu.roll(t, o, axis=axis)
+                    accA += bandsA[p + o] * tl + bandsA[p - o] * tr
+                    accB += bandsB[p + o] * tl + bandsB[p - o] * tr
+                return accA, accB
+
+            b, a = banded_pair(um, Mz_r, Kz_r, 2)
+            mb, kb = banded_pair(b, My_r, Ky_r, 1)
             ma = banded(a, My_r, 1)
             raw = banded(mb, Kx_r, 0) + banded(kb + ma, Mx_r, 0)
 
