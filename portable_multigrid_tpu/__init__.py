@@ -31,6 +31,7 @@ from .models.poisson import (
     PolynomialMultigridPoisson,
 )
 from .models.mixed import MixedMultigridPoisson, MixedPrecisionPoisson
+from .models.general_geometry import GeneralGeometryMultigrid
 from .models.elasticity import ElasticityMultigrid
 from .ops.elasticity import ElasticityOperator, make_elasticity
 from .ops.indexed import (
@@ -63,6 +64,7 @@ __all__ = [
     "GeometricMultigridPoisson",
     "PolynomialMultigridPoisson",
     "MixedMultigridPoisson",
+    "GeneralGeometryMultigrid",
     "MixedPrecisionPoisson",
     "ElasticityMultigrid",
     "ElasticityOperator",

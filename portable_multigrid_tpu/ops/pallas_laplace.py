@@ -209,7 +209,10 @@ class PallasLaplaceOperator:
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            out_shape=jax.ShapeDtypeStruct((N, N, N), dtype),
+            # trimmed, fully-written output (the global last planes are
+            # Dirichlet faces, re-added by a fused zero-pad below) — avoids
+            # both uninitialized-memory hazards and three update-slice passes
+            out_shape=jax.ShapeDtypeStruct((N - 1, N - 1, Z), dtype),
             scratch_shapes=[
                 pltpu.VMEM((X, byp + 8, Z), dtype),
                 pltpu.VMEM((X - 1, Y - 1, Z), dtype),
@@ -225,12 +228,9 @@ class PallasLaplaceOperator:
 
         u = u.reshape(self.grid_shape)
         au = inner(u, *self.bands)
-        # unwritten global last planes (all Dirichlet faces): out = u there
-        au = (
-            au.at[-1, :, :].set(0.0)
-            .at[:, -1, :].set(0.0)
-            .at[:, :, -1].set(0.0)
-        )
+        # global last planes are Dirichlet faces (mask == 0 there): zero-pad
+        # back to the full grid; XLA fuses pad + mask combine into one pass
+        au = jnp.pad(au, ((0, 1), (0, 1), (0, 1)))
         return self.mask * au + (1.0 - self.mask) * u
 
     vmult = apply
