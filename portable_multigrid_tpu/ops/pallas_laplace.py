@@ -102,6 +102,9 @@ class PallasLaplaceOperator:
         dtype = self.mask.dtype
         nb = 2 * p + 1
 
+        if byp % 8 != 0:
+            raise ValueError("pallas kernel requires by*p % 8 == 0")
+
         def kernel(u_hbm, Kz_r, Mz_r, Kx_r, Mx_r, Ky_r, My_r, out_hbm,
                    slab, outs, carry_y, carry_x, sems):
             i = pl.program_id(0)
@@ -119,7 +122,7 @@ class PallasLaplaceOperator:
                 cin2 = pltpu.make_async_copy(
                     u_hbm.at[pl.ds(i * bx * p, X),
                              pl.ds((j + 1) * byp, 8), pl.ds(0, Z)],
-                    slab.at[:, byp: byp + 8, :], sems.at[2],
+                    slab.at[:, byp: byp + 8, :], sems.at[3],
                 )
                 cin2.start()
                 cin2.wait()
@@ -193,15 +196,38 @@ class PallasLaplaceOperator:
             outv = jnp.concatenate([plane_x0, outv[1:, :, :]], axis=0)
             outv = outv * mvx[: X - 1] * mvy[:, : Y - 1]
 
-            outs[:, :, :] = outv
-            cout = pltpu.make_async_copy(
-                outs,
-                out_hbm.at[pl.ds(i * bx * p, X - 1),
-                           pl.ds(j * byp, Y - 1), pl.ds(0, Z)],
-                sems.at[1],
-            )
+            # double-buffered output write-back: start this block's DMA and
+            # only wait for it one grid step later (before its slot is
+            # reused), so compute overlaps the write.
+            k = i * nbj + j
+            oslot = jax.lax.rem(k, jnp.int32(2))
+
+            def out_dma(slot, ii, jj):
+                return pltpu.make_async_copy(
+                    outs.at[slot],
+                    out_hbm.at[pl.ds(ii * bx * p, X - 1),
+                               pl.ds(jj * byp, Y - 1), pl.ds(0, Z)],
+                    sems.at[1 + slot],
+                )
+
+            @pl.when(k >= 2)
+            def _():
+                k2 = k - 2
+                out_dma(oslot, k2 // nbj, jax.lax.rem(k2, nbj)).wait()
+
+            outs[oslot] = outv
+            cout = out_dma(oslot, i, j)
             cout.start()
-            cout.wait()
+
+            # drain both in-flight writes at the final grid step
+            @pl.when(k == nbi * nbj - 1)
+            def _():
+                cout.wait()
+
+                @pl.when(k >= 1)
+                def _():
+                    k1 = k - 1
+                    out_dma(1 - oslot, k1 // nbj, jax.lax.rem(k1, nbj)).wait()
 
         inner = pl.pallas_call(
             kernel,
@@ -215,10 +241,10 @@ class PallasLaplaceOperator:
             out_shape=jax.ShapeDtypeStruct((N - 1, N - 1, Z), dtype),
             scratch_shapes=[
                 pltpu.VMEM((X, byp + 8, Z), dtype),
-                pltpu.VMEM((X - 1, Y - 1, Z), dtype),
+                pltpu.VMEM((2, X - 1, Y - 1, Z), dtype),
                 pltpu.VMEM((X, Z), dtype),
                 pltpu.VMEM((2, nbj, Y, Z), dtype),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((4,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024,
