@@ -213,7 +213,7 @@ class PallasLaplaceOperator:
             @pl.when(k >= 2)
             def _():
                 k2 = k - 2
-                out_dma(oslot, k2 // nbj, jax.lax.rem(k2, nbj)).wait()
+                out_dma(oslot, k2 // nbj, jax.lax.rem(k2, jnp.int32(nbj))).wait()
 
             outs[oslot] = outv
             cout = out_dma(oslot, i, j)
@@ -227,7 +227,9 @@ class PallasLaplaceOperator:
                 @pl.when(k >= 1)
                 def _():
                     k1 = k - 1
-                    out_dma(1 - oslot, k1 // nbj, jax.lax.rem(k1, nbj)).wait()
+                    out_dma(
+                        1 - oslot, k1 // nbj, jax.lax.rem(k1, jnp.int32(nbj))
+                    ).wait()
 
         inner = pl.pallas_call(
             kernel,
