@@ -33,25 +33,39 @@ def trace(dirname: str):
         jax.profiler.stop_trace()
 
 
-def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8)) -> float:
-    """Per-iteration wall time of x -> f(x), robust to async dispatch.
+def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
+               params=None) -> float:
+    """Per-iteration wall time of x -> f(x) (or f(params, x) when ``params``
+    is given), robust to async dispatch.
 
     Runs the op inside a single jitted lax.fori_loop, synchronizes through a
     scalar readback, and returns the slope between two iteration counts —
     this removes dispatch/RPC overhead and works on backends where
     block_until_ready is unreliable (e.g. tunneled TPU attachments).
+    Pass large operator pytrees via ``params`` so they become jit arguments
+    rather than closure constants embedded in the compiled program.
     """
     ts = {}
     for n in iterations:
+        if params is None:
 
-        @jax.jit
-        def loop(v, n=n):
-            y = jax.lax.fori_loop(0, n, lambda i, u: f(u), v)
-            return jnp.sum(y.ravel()[:1])
+            @jax.jit
+            def loop(v, n=n):
+                y = jax.lax.fori_loop(0, n, lambda i, u: f(u), v)
+                return jnp.sum(y.ravel()[:1])
 
-        float(loop(x0))  # compile + warm
+            run = lambda: float(loop(x0))
+        else:
+
+            @jax.jit
+            def loop(prm, v, n=n):
+                y = jax.lax.fori_loop(0, n, lambda i, u: f(prm, u), v)
+                return jnp.sum(y.ravel()[:1])
+
+            run = lambda: float(loop(params, x0))
+        run()  # compile + warm
         t0 = time.perf_counter()
-        float(loop(x0))
+        run()
         ts[n] = time.perf_counter() - t0
     n0, n1 = iterations
     return (ts[n1] - ts[n0]) / (n1 - n0)
