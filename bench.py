@@ -4,37 +4,26 @@ Headline: DoF/s for one full V-cycle application on 3D Poisson Q4 (the
 north-star in BASELINE.json is >= 1e9 DoF/s per chip).  Extra fields report
 the operator-apply throughput.
 
-Timing methodology: the kernel under test is iterated inside a single jitted
-lax.fori_loop and synchronized through a scalar readback; the per-iteration
-time is the slope between two iteration counts.  This removes dispatch/RPC
-overhead and is robust on backends where block_until_ready is unreliable
-(e.g. tunneled TPU attachments).
+The benchmarked V-cycle is the PRODUCTION preconditioner: levels are built
+with ``make_chebyshev`` exactly as the solver drivers do (reference
+smoothing config — range 15, degree 5, 10 eig-CG iterations; coarse level =
+Chebyshev-as-solver), so bench program == solver program.
+
+Timing: ``utils/profiling.py:measure_op`` — the op iterated inside a single
+jitted lax.fori_loop, scalar-readback sync, slope between two iteration
+counts (robust on tunneled TPU attachments where block_until_ready and bulk
+readback are unreliable).  Operators are closure-captured (NOT jit args —
+the relay deduplicates identical execute requests, corrupting slopes); their
+captured constants stay small because mask/diagonal storage is separable.
+
+Env knobs: PMG_BENCH_REFINEMENTS (default 6 = 17M DoFs; 7 = 135M),
+PMG_BENCH_VARIANT=auto|kron|dense|sumfac, PMG_BENCH_PRECISION.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import time
-
-
-def _measure(f, x0, ns=(2, 8)):
-    import jax
-    import jax.numpy as jnp
-
-    ts = {}
-    for n in ns:
-
-        @jax.jit
-        def loop(v, n=n):
-            y = jax.lax.fori_loop(0, n, lambda i, u: f(u), v)
-            return jnp.sum(y.ravel()[:1])
-
-        float(loop(x0))  # compile + warm
-        t0 = time.perf_counter()
-        float(loop(x0))
-        ts[n] = time.perf_counter() - t0
-    return (ts[ns[1]] - ts[ns[0]]) / (ns[1] - ns[0])
 
 
 def main():
@@ -61,45 +50,53 @@ def main():
     from portable_multigrid_tpu.ops.laplace import make_laplace
     from portable_multigrid_tpu.ops.pallas_laplace import make_laplace_auto
     from portable_multigrid_tpu.ops.transfer import make_h_transfer
-    from portable_multigrid_tpu.solvers.chebyshev import Chebyshev
+    from portable_multigrid_tpu.solvers.chebyshev import make_chebyshev
     from portable_multigrid_tpu.solvers.vcycle import MGLevel, VCycle
+    from portable_multigrid_tpu.utils.profiling import measure_op
 
     mesh = HyperCubeMesh(dim, refinements)
     spaces = [FESpace(m, degree) for m in geometric_coarsening_sequence(mesh)]
     fine = spaces[-1]
     n_dofs = fine.n_dofs
 
-    def build_op(sp):
+    smoother_core = os.environ.get("PMG_BENCH_SMOOTHER_CORE", "mxu")
+
+    def build_op(sp, core="banded"):
         if variant == "auto":
-            return make_laplace_auto(sp, dtype, precision=precision)
+            return make_laplace_auto(sp, dtype, precision=precision, core=core)
         return make_laplace(sp, dtype, variant=variant, precision=precision)
 
     # --- operator apply benchmark -----------------------------------------
+    # random vectors are generated ON DEVICE: host->device uploads through
+    # the tunneled attachment are too slow for 135M-DoF grids
     op = build_op(fine)
-    rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal(fine.grid_shape), dtype)
-    t_apply = _measure(op.apply, u)
+    u = jax.random.normal(jax.random.PRNGKey(0), fine.grid_shape, dtype)
+    t_apply = measure_op(op.apply, u)
     apply_dofs_per_s = n_dofs / t_apply
 
-    # --- V-cycle benchmark -------------------------------------------------
-    # Fixed Chebyshev bounds instead of the setup-time eigenvalue CG: the
-    # bounds only affect convergence quality, not per-cycle cost, and
-    # skipping the per-level eig solves keeps the bench fast and robust.
+    # --- V-cycle benchmark: the production preconditioner ------------------
+    # (reference smoother setup: source/geometric_multigrid/program.cc:259-287)
     levels = []
     for i, sp in enumerate(spaces):
         lop = build_op(sp)
-        sm = Chebyshev(
-            degree=24 if i == 0 else 5,
-            op=lop,
-            inv_diag=lop.inv_diag,
-            theta=jnp.asarray(1.1, dtype),
-            delta=jnp.asarray(0.95, dtype),
-        )
+        # bf16-grade MXU kernel inside the Chebyshev recurrence only (the
+        # exact banded kernel keeps residuals/CG f32-exact); convergence
+        # counts verified unchanged in tests/test_pallas_smoother.py
+        sop = build_op(sp, core=smoother_core) if variant == "auto" else lop
+        if i == 0:
+            sm = make_chebyshev(
+                sop, smoothing_range=1e-3, degree=None,
+                eig_cg_n_iterations=min(sp.n_dofs, 128),
+            )
+        else:
+            sm = make_chebyshev(
+                sop, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10
+            )
         tr = make_h_transfer(spaces[i - 1], sp, dtype) if i > 0 else None
         levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
     mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2, levels=tuple(levels))
-    b = jnp.asarray(rng.standard_normal(fine.grid_shape), dtype)
-    t_vcycle = _measure(mg.apply, b, ns=(1, 3))
+    b = jax.random.normal(jax.random.PRNGKey(1), fine.grid_shape, dtype)
+    t_vcycle = measure_op(mg.apply, b, iterations=(1, 3))
     vcycle_dofs_per_s = n_dofs / t_vcycle
 
     result = {

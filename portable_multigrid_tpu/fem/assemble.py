@@ -235,16 +235,11 @@ def assemble_rhs(space: FESpace, f=None, n_q: int | None = None) -> np.ndarray:
     return rhs * space.free_mask()
 
 
-def l2_norm(space: FESpace, u_grid: np.ndarray, n_q: int | None = None) -> float:
-    """Global L2 norm of the FE function with nodal values u_grid.
-
-    Uses QGauss(p+2) by default, matching integrate_difference in the
-    reference driver (reference: source/geometric_multigrid/program.cc:382-395).
-    """
+def _fe_values_at_quad(space: FESpace, u_grid: np.ndarray, nq: int):
+    """FE function values at all quadrature points + the weight grid."""
     from .basis import gauss_points, lagrange_eval
 
     p = space.degree
-    nq = n_q if n_q is not None else p + 2
     qp, qw = gauss_points(nq)
     B = lagrange_eval(space.basis.nodes, qp)  # [nq, p+1]
     n = space.mesh.cells_per_axis
@@ -262,4 +257,30 @@ def l2_norm(space: FESpace, u_grid: np.ndarray, n_q: int | None = None) -> float
     wtot = w1
     for _ in range(dim - 1):
         wtot = np.multiply.outer(wtot, w1)
-    return float(np.sqrt(np.sum(t * t * wtot) * space.mesh.h**dim))
+    return t, wtot
+
+
+def l2_norm(space: FESpace, u_grid: np.ndarray, n_q: int | None = None) -> float:
+    """Global L2 norm of the FE function with nodal values u_grid.
+
+    Uses QGauss(p+2) by default, matching integrate_difference in the
+    reference driver (reference: source/geometric_multigrid/program.cc:382-395).
+    """
+    nq = n_q if n_q is not None else space.degree + 2
+    t, wtot = _fe_values_at_quad(space, u_grid, nq)
+    return float(np.sqrt(np.sum(t * t * wtot) * space.mesh.h**space.dim))
+
+
+def l2_error(
+    space: FESpace, u_grid: np.ndarray, u_exact, n_q: int | None = None
+) -> float:
+    """||u_h - u_exact||_L2 — an INDEPENDENT correctness oracle: for smooth
+    u_exact the error must converge at rate h^(p+1) (the analog of the
+    reference's integrate_difference against an analytic solution,
+    reference: source/geometric_multigrid/program.cc:368-396)."""
+    nq = n_q if n_q is not None else space.degree + 2
+    t, wtot = _fe_values_at_quad(space, u_grid, nq)
+    x1 = quad_grid_1d(space, nq)
+    coords = np.meshgrid(*([x1] * space.dim), indexing="ij")
+    diff = t - np.asarray(u_exact(*coords), dtype=np.float64)
+    return float(np.sqrt(np.sum(diff * diff * wtot) * space.mesh.h**space.dim))

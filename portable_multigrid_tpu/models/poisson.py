@@ -49,26 +49,34 @@ def _build_level(
     variant: str = "sumfac",
     coefficient=None,
 ) -> MGLevel:
+    smoother_op = None
     if coefficient is not None:
         # variable coefficients force the sumfac path; coarse levels are
         # re-discretizations of the same coefficient (standard geometric MG)
         op = make_laplace(space, dtype, variant="sumfac", coefficient=coefficient)
     elif variant == "auto":
-        from ..ops.pallas_laplace import make_laplace_auto
+        from ..ops.pallas_laplace import PallasLaplaceOperator, make_laplace_auto
 
         op = make_laplace_auto(space, dtype)
+        if isinstance(op, PallasLaplaceOperator):
+            # the Chebyshev recurrence tolerates a bf16-grade operator (the
+            # residuals and CG stay on the exact banded kernel) — verified
+            # to preserve convergence counts in tests/test_pallas_smoother.py
+            smoother_op = make_laplace_auto(space, dtype, core="mxu")
     else:
         op = make_laplace(space, dtype, variant=variant)
+    if smoother_op is None:
+        smoother_op = op
     if coarse:
         smoother = make_chebyshev(
-            op,
+            smoother_op,
             smoothing_range=1e-3,
             degree=None,
             eig_cg_n_iterations=space.n_dofs,
         )
     else:
         smoother = make_chebyshev(
-            op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10
+            smoother_op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10
         )
     return op, smoother
 
@@ -109,9 +117,11 @@ class _MultigridPoissonBase:
         pre_smoothing_steps: int = 2,
         post_smoothing_steps: int = 2,
         verbose: bool = False,
+        f=None,
     ) -> tuple[jnp.ndarray, SolveStats]:
+        """Solve -Δu = f (f ≡ 1 when None, like the reference driver)."""
         fine = self.spaces[-1]
-        rhs = jnp.asarray(assemble_rhs(fine), self.dtype)
+        rhs = jnp.asarray(assemble_rhs(fine, f=f), self.dtype)
         mg = VCycle(
             pre_smoothing_steps=pre_smoothing_steps,
             post_smoothing_steps=post_smoothing_steps,

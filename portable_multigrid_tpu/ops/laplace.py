@@ -60,8 +60,20 @@ class LaplaceOperator:
     B: jnp.ndarray = None  # [nq, p+1] shape values at quad points
     Dco: jnp.ndarray = None  # [nq, nq] collocation derivative
     qmetric: jnp.ndarray = None  # [nq]*dim tensor: w_q ⊗ ... ⊗ w_q * h^(dim-2)
-    mask: jnp.ndarray = None  # [N]*dim free-DoF grid mask (1 free, 0 constrained)
-    inv_diag: jnp.ndarray = None  # [N]*dim inverse of the matrix diagonal
+    # Separable constraint-mask / diagonal storage: the grid mask and the
+    # matrix diagonal of the Cartesian operator are (sums of) outer products
+    # of per-axis 1D vectors, so only the 1D factors are stored; the grid
+    # fields are materialized lazily (fused broadcasts under jit).  This
+    # keeps captured jit constants O(N) instead of O(N^dim) — required to
+    # compile 135M-DoF programs through the remote-TPU relay — and turns
+    # every inv_diag read from an HBM stream into (cheap) recompute.
+    mask1: tuple = None  # per-axis [N_d] free-DoF mask factors
+    dK1: tuple = None  # per-axis assembled 1D stiffness diagonals (h-folded)
+    dM1: tuple = None  # per-axis assembled 1D mass diagonals
+    # escape hatches for non-separable cases (variable coefficients,
+    # externally partitioned grids): override the lazy products when set
+    mask_full: jnp.ndarray = None
+    inv_diag_full: jnp.ndarray = None
     elem_matrix: jnp.ndarray = None  # [(p+1)^dim]^2 element matrix ("dense")
     Kg: tuple = None  # per-axis assembled 1D stiffness [N_d, N_d] ("kron")
     Mg: tuple = None  # per-axis assembled 1D mass [N_d, N_d] ("kron")
@@ -85,6 +97,46 @@ class LaplaceOperator:
 
     def zero_vector(self) -> jnp.ndarray:
         return jnp.zeros(self.grid_shape, self.B.dtype)
+
+    @property
+    def dtype(self):
+        return self.B.dtype
+
+    # -- lazily materialized separable fields -------------------------------
+    def _bc(self, v: jnp.ndarray, ax: int) -> jnp.ndarray:
+        """Reshape a per-axis 1D factor for broadcasting onto the grid."""
+        shp = [1] * self.dim
+        shp[ax] = v.shape[0]
+        return v.reshape(shp)
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        """Free-DoF grid mask (outer product of the per-axis factors)."""
+        if self.mask_full is not None:
+            return self.mask_full
+        m = self._bc(self.mask1[0], 0)
+        for d in range(1, self.dim):
+            m = m * self._bc(self.mask1[d], d)
+        return m
+
+    @property
+    def inv_diag(self) -> jnp.ndarray:
+        """Inverse matrix diagonal (constrained DoFs = 1), from 1D factors.
+
+        diag = sum_k  (x)_d (dK1[d] if d==k else dM1[d]) — the Kronecker-sum
+        structure of the Cartesian operator (see _diagonal_grid)."""
+        if self.inv_diag_full is not None:
+            return self.inv_diag_full
+        diag = None
+        for k in range(self.dim):
+            term = self._bc(self.dK1[0] if k == 0 else self.dM1[0], 0)
+            for d in range(1, self.dim):
+                term = term * self._bc(
+                    self.dK1[d] if d == k else self.dM1[d], d
+                )
+            diag = term if diag is None else diag + term
+        m = self.mask
+        return 1.0 / (diag * m + (1.0 - m))
 
     # -- the hot kernel ----------------------------------------------------
     def apply_local(self, ue: jnp.ndarray) -> jnp.ndarray:
@@ -264,6 +316,27 @@ def _diagonal_grid(space: FESpace) -> np.ndarray:
     return diag * m + (1.0 - m)
 
 
+def diagonal_1d_factors(space: FESpace) -> tuple[np.ndarray, np.ndarray]:
+    """Per-axis 1D diagonal factors (gK, gM) with h^(dim-2) folded into gK.
+
+    The grid diagonal is sum_k (x)_d (gK if d==k else gM) — each Kronecker
+    term carries exactly one stiffness factor, so the global h power folds
+    into gK once (see _diagonal_grid for the assembled-grid twin)."""
+    b = make_basis(space.degree)
+    W = np.diag(b.q_weights)
+    dM = np.diag(b.B.T @ W @ b.B)
+    dK = np.diag(b.D.T @ W @ b.D)
+    n, p = space.mesh.cells_per_axis, space.degree
+    N = n * p + 1
+    gM = np.zeros(N)
+    gK = np.zeros(N)
+    for c in range(n):
+        sl = slice(c * p, c * p + p + 1)
+        gM[sl] += dM
+        gK[sl] += dK
+    return gK * space.mesh.h ** (space.dim - 2), gM
+
+
 def assembled_1d_matrices(space: FESpace) -> tuple[np.ndarray, np.ndarray]:
     """Assembled 1D stiffness/mass matrices on the axis DoF grid (NumPy).
 
@@ -353,15 +426,22 @@ def make_laplace(
         qm = np.multiply.outer(qm, wq)
     qm = qm * space.mesh.h ** (dim - 2)
     coef = None
+    inv_diag_full = None
+    dK1 = dM1 = None
     if coefficient is not None:
         if variant != "sumfac":
             raise ValueError(
                 "variable coefficients require the 'sumfac' variant"
             )
         coef = _coef_at_quad(space, coefficient)
-        diag = _diagonal_grid_coef(space, coef)
+        # the variable-coefficient diagonal is not separable: store it whole
+        inv_diag_full = jnp.asarray(
+            1.0 / _diagonal_grid_coef(space, coef), dtype
+        )
     else:
-        diag = _diagonal_grid(space)
+        gK, gM = diagonal_1d_factors(space)
+        dK1 = (jnp.asarray(gK, dtype),) * dim
+        dM1 = (jnp.asarray(gM, dtype),) * dim
     elem = None
     Kg = Mg = None
     if variant == "dense":
@@ -383,8 +463,10 @@ def make_laplace(
         B=jnp.asarray(b.B, dtype),
         Dco=jnp.asarray(b.Dco, dtype),
         qmetric=jnp.asarray(qm, dtype),
-        mask=jnp.asarray(space.free_mask(), dtype),
-        inv_diag=jnp.asarray(1.0 / diag, dtype),
+        mask1=(jnp.asarray(space.free_mask_1d(), dtype),) * dim,
+        dK1=dK1,
+        dM1=dM1,
+        inv_diag_full=inv_diag_full,
         elem_matrix=elem,
         Kg=Kg,
         Mg=Mg,

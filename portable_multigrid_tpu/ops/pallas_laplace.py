@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fem.basis import make_basis
 from ..fem.space import FESpace
 from ..utils.pytree import pytree_dataclass, static_field
-from .laplace import _diagonal_grid, assembled_1d_matrices, make_laplace
+from .laplace import assembled_1d_matrices, diagonal_1d_factors, make_laplace
 
 
 def to_bands(W: np.ndarray, p: int) -> np.ndarray:
@@ -76,13 +76,51 @@ class PallasLaplaceOperator:
     bx: int = static_field()
     by: int = static_field()
     interpret: bool = static_field(default=False)
+    # compute core: "banded" = exact f32 roll+FMA on the VPU (the CG/residual
+    # operator); "mxu" = bf16 dense matmuls on the systolic array with f32
+    # accumulation (smoother-grade: ~1e-3 relative operator perturbation,
+    # which Chebyshev smoothing absorbs — see tests/test_mixed.py)
+    core: str = static_field(default="banded")
     bands: tuple = None  # (Kzb, Mzb, Kxb, Mxb, Kyb, Myb)
-    mask: jnp.ndarray = None
-    inv_diag: jnp.ndarray = None
+    dense_mats: tuple = None  # (Kz, Mz, Kx, Mx, KyB, MyB) bf16 ("mxu" core)
+    # separable mask/diagonal factors (see LaplaceOperator: O(N) storage so
+    # jit-captured constants stay tiny even at 135M DoFs)
+    mask1: tuple = None  # per-axis [N_d]
+    dK1: tuple = None
+    dM1: tuple = None
 
     @property
     def grid_shape(self):
         return tuple(nd * self.degree + 1 for nd in self.n)
+
+    @property
+    def dtype(self):
+        return self.mask1[0].dtype
+
+    def _bc(self, v, ax):
+        shp = [1] * self.dim
+        shp[ax] = v.shape[0]
+        return v.reshape(shp)
+
+    @property
+    def mask(self):
+        m = self._bc(self.mask1[0], 0)
+        for d in range(1, self.dim):
+            m = m * self._bc(self.mask1[d], d)
+        return m
+
+    @property
+    def inv_diag(self):
+        diag = None
+        for k in range(self.dim):
+            term = self._bc(self.dK1[0] if k == 0 else self.dM1[0], 0)
+            for d in range(1, self.dim):
+                term = term * self._bc(
+                    self.dK1[d] if d == k else self.dM1[d], d
+                )
+            diag = term if diag is None else diag + term
+        m = self.mask
+        return 1.0 / (diag * m + (1.0 - m))
 
     @property
     def n_dofs(self):
@@ -99,39 +137,69 @@ class PallasLaplaceOperator:
         X, Y, Z = bx * p + 1, by * p + 1, n * p
         nbi, nbj = n // bx, n // by
         byp = by * p
-        dtype = self.mask.dtype
+        dtype = self.dtype
         nb = 2 * p + 1
+        core = self.core
 
         if byp % 8 != 0:
             raise ValueError("pallas kernel requires by*p % 8 == 0")
 
-        def kernel(u_hbm, Kz_r, Mz_r, Kx_r, Mx_r, Ky_r, My_r, out_hbm,
-                   slab, outs, carry_y, carry_x, sems):
+        n_mats = 12 if core == "mxu3" else 6
+
+        def kernel(u_hbm, *refs):
+            mat_refs = refs[:n_mats]
+            (out_hbm, slab, outs, carry_y, carry_x, sems) = refs[n_mats:]
+            (Az_r, Bz_r, Ax_r, Bx_r, Ay_r, By_r) = mat_refs[:6]
             i = pl.program_id(0)
             j = pl.program_id(1)
+            k = i * nbj + j
+            islot = jax.lax.rem(k, jnp.int32(2))
 
-            cin = pltpu.make_async_copy(
-                u_hbm.at[pl.ds(i * bx * p, X), pl.ds(j * byp, byp),
-                         pl.ds(0, Z)],
-                slab.at[:, 0:byp, :], sems.at[0],
-            )
-            cin.start()
+            # ---- double-buffered input: prefetch block k+1 while block k
+            # computes (the write-back side is double-buffered symmetrically
+            # below).  The y-window is the aligned byp-row body plus the next
+            # 8 rows (zeros on the last j-block).
+            def in_main(slot, ii, jj):
+                return pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(ii * bx * p, X), pl.ds(jj * byp, byp),
+                             pl.ds(0, Z)],
+                    slab.at[slot, :, 0:byp, :], sems.at[slot],
+                )
+
+            def in_tail(slot, ii, jj):
+                return pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(ii * bx * p, X),
+                             pl.ds((jj + 1) * byp, 8), pl.ds(0, Z)],
+                    slab.at[slot, :, byp: byp + 8, :], sems.at[2 + slot],
+                )
+
+            def start_fetch(slot, ii, jj):
+                in_main(slot, ii, jj).start()
+
+                @pl.when(jj < nbj - 1)
+                def _():
+                    in_tail(slot, ii, jj).start()
+
+                @pl.when(jj == nbj - 1)
+                def _():
+                    slab[slot, :, byp: byp + 8, :] = jnp.zeros((X, 8, Z), dtype)
+
+            @pl.when(k == 0)
+            def _():
+                start_fetch(jnp.int32(0), i, j)
+
+            @pl.when(k + 1 < nbi * nbj)
+            def _():
+                k1 = k + 1
+                start_fetch(
+                    1 - islot, k1 // nbj, jax.lax.rem(k1, jnp.int32(nbj))
+                )
+
+            in_main(islot, i, j).wait()
 
             @pl.when(j < nbj - 1)
             def _():
-                cin2 = pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(i * bx * p, X),
-                             pl.ds((j + 1) * byp, 8), pl.ds(0, Z)],
-                    slab.at[:, byp: byp + 8, :], sems.at[3],
-                )
-                cin2.start()
-                cin2.wait()
-
-            @pl.when(j == nbj - 1)
-            def _():
-                slab[:, byp: byp + 8, :] = jnp.zeros((X, 8, Z), dtype)
-
-            cin.wait()
+                in_tail(islot, i, j).wait()
 
             xi = jax.lax.broadcasted_iota(jnp.int32, (X, 1, 1), 0)
             yi = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
@@ -144,7 +212,7 @@ class PallasLaplaceOperator:
                 jnp.logical_or(j < nbj - 1, yi < Y - 1),
             ).astype(dtype)
 
-            um = slab[:, :Y, :] * mvx * mvy
+            um = slab[islot, :, :Y, :] * mvx * mvy
 
             def banded(t, bands_ref, axis):
                 L = t.shape[axis]
@@ -167,10 +235,77 @@ class PallasLaplaceOperator:
                     accB += bandsB[p + o] * tl + bandsB[p - o] * tr
                 return accA, accB
 
-            b, a = banded_pair(um, Mz_r, Kz_r, 2)
-            mb, kb = banded_pair(b, My_r, Ky_r, 1)
-            ma = banded(a, My_r, 1)
-            raw = banded(mb, Kx_r, 0) + banded(kb + ma, Mx_r, 0)
+            if core == "banded":
+                # exact f32: banded roll+FMA contractions on the VPU
+                b, a = banded_pair(um, Bz_r, Az_r, 2)
+                mb, kb = banded_pair(b, By_r, Ay_r, 1)
+                ma = banded(a, By_r, 1)
+                raw = banded(mb, Ax_r, 0) + banded(kb + ma, Bx_r, 0)
+            else:
+                # smoother-grade bf16 MXU core: every 1D contraction is a
+                # dense matmul on the systolic array (inputs rounded to bf16,
+                # f32 accumulation).  ~28x flop waste vs the 9-banded
+                # structure, but the MXU's ~50x throughput advantage over
+                # the VPU makes it the faster engine; the VPU keeps the
+                # masking/carry elementwise work.
+                bf = jnp.bfloat16
+
+                def dz(t, w_r):  # contract lanes (z): [X,Y,Z] @ [Z,Z']
+                    return jax.lax.dot_general(
+                        t, w_r[...],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                def dy(t, w_r):  # batched over x: [X,Y',Y] @ [X,Y,Z]
+                    return jax.lax.dot_general(
+                        w_r[...], t,
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                def dx(t, w_r):  # contract axis 0: [X',X] @ [X,Y,Z]
+                    return jax.lax.dot_general(
+                        w_r[...], t,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                if core == "mxu":
+                    ub = um.astype(bf)
+                    b = dz(ub, Bz_r).astype(bf)  # Mz u
+                    a = dz(ub, Az_r).astype(bf)  # Kz u
+                    mb = dy(b, By_r).astype(bf)
+                    kb = dy(b, Ay_r)
+                    ma = dy(a, By_r)
+                    s = (kb + ma).astype(bf)
+                    raw = dx(mb, Ax_r) + dx(s, Bx_r)
+                else:
+                    # "mxu3": f32-faithful via hi/lo bf16 splitting — the
+                    # matrices ship as (hi, lo) pairs, the data splits in
+                    # kernel; out = hi@Whi + lo@Whi + hi@Wlo (the dropped
+                    # lo@Wlo term is O(2^-16) relative).  3x the matmuls of
+                    # "mxu" but still MXU-engine speed, with ~1e-7 relative
+                    # error — CG/residual-grade.
+                    (Azl_r, Bzl_r, Axl_r, Bxl_r, Ayl_r, Byl_r) = mat_refs[6:]
+
+                    def split(t):
+                        hi = t.astype(bf)
+                        lo = (t - hi.astype(jnp.float32)).astype(bf)
+                        return hi, lo
+
+                    def c3(d, t, whi_r, wlo_r):
+                        hi, lo = split(t)
+                        return d(hi, whi_r) + d(lo, whi_r) + d(hi, wlo_r)
+
+                    b = c3(dz, um, Bz_r, Bzl_r)  # Mz u
+                    a = c3(dz, um, Az_r, Azl_r)  # Kz u
+                    mb = c3(dy, b, By_r, Byl_r)
+                    kb = c3(dy, b, Ay_r, Ayl_r)
+                    ma = c3(dy, a, By_r, Byl_r)
+                    raw = c3(dx, mb, Ax_r, Axl_r) + c3(
+                        dx, kb + ma, Bx_r, Bxl_r
+                    )
 
             wbuf = jax.lax.rem(i, jnp.int32(2))
             rbuf = 1 - wbuf
@@ -199,7 +334,6 @@ class PallasLaplaceOperator:
             # double-buffered output write-back: start this block's DMA and
             # only wait for it one grid step later (before its slot is
             # reused), so compute overlaps the write.
-            k = i * nbj + j
             oslot = jax.lax.rem(k, jnp.int32(2))
 
             def out_dma(slot, ii, jj):
@@ -207,7 +341,7 @@ class PallasLaplaceOperator:
                     outs.at[slot],
                     out_hbm.at[pl.ds(ii * bx * p, X - 1),
                                pl.ds(jj * byp, Y - 1), pl.ds(0, Z)],
-                    sems.at[1 + slot],
+                    sems.at[4 + slot],
                 )
 
             @pl.when(k >= 2)
@@ -231,35 +365,37 @@ class PallasLaplaceOperator:
                         1 - oslot, k1 // nbj, jax.lax.rem(k1, jnp.int32(nbj))
                     ).wait()
 
+        mats = self.bands if core == "banded" else self.dense_mats
         inner = pl.pallas_call(
             kernel,
             grid=(nbi, nbj),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_mats,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             # trimmed, fully-written output (the global last planes are
             # Dirichlet faces, re-added by a fused zero-pad below) — avoids
             # both uninitialized-memory hazards and three update-slice passes
             out_shape=jax.ShapeDtypeStruct((N - 1, N - 1, Z), dtype),
             scratch_shapes=[
-                pltpu.VMEM((X, byp + 8, Z), dtype),
+                pltpu.VMEM((2, X, byp + 8, Z), dtype),
                 pltpu.VMEM((2, X - 1, Y - 1, Z), dtype),
                 pltpu.VMEM((X, Z), dtype),
                 pltpu.VMEM((2, nbj, Y, Z), dtype),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((6,)),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024,
+                vmem_limit_bytes=127 * 1024 * 1024,
             ),
             interpret=self.interpret,
         )
 
         u = u.reshape(self.grid_shape)
-        au = inner(u, *self.bands)
+        au = inner(u, *mats)
         # global last planes are Dirichlet faces (mask == 0 there): zero-pad
         # back to the full grid; XLA fuses pad + mask combine into one pass
         au = jnp.pad(au, ((0, 1), (0, 1), (0, 1)))
-        return self.mask * au + (1.0 - self.mask) * u
+        m = self.mask
+        return m * au + (1.0 - m) * u
 
     vmult = apply
 
@@ -270,12 +406,15 @@ def make_pallas_laplace(
     bx: int = 8,
     by: int = 8,
     interpret: bool = False,
+    core: str = "banded",
 ) -> PallasLaplaceOperator:
     if not (interpret or pallas_eligible(space, bx, by)):
         raise ValueError(
             "pallas operator requires dim==3, n*p % 128 == 0 and "
             "8-aligned block windows; use make_laplace_auto for fallback"
         )
+    if core not in ("banded", "mxu", "mxu3"):
+        raise ValueError(f"unknown pallas core: {core!r}")
     p = space.degree
     n = space.mesh.cells_per_axis
     X, Y, Z = bx * p + 1, by * p + 1, n * p
@@ -312,7 +451,26 @@ def make_pallas_laplace(
         to_bands(Kyl, p).reshape(nb, 1, Y, 1),
         to_bands(Myl, p).reshape(nb, 1, Y, 1),
     )
-    diag = _diagonal_grid(space)
+    dense_mats = None
+    if core in ("mxu", "mxu3"):
+        bf = jnp.bfloat16
+        KyB = np.broadcast_to(Kyl, (X,) + Kyl.shape)
+        MyB = np.broadcast_to(Myl, (X,) + Myl.shape)
+        dense = (Kzm, Mzm, Kxl, Mxl, KyB, MyB)
+        his = tuple(jnp.asarray(w, bf) for w in dense)
+        if core == "mxu":
+            dense_mats = his
+        else:
+            los = tuple(
+                jnp.asarray(
+                    np.asarray(w, np.float32)
+                    - np.asarray(h, np.float32),
+                    bf,
+                )
+                for w, h in zip(dense, his)
+            )
+            dense_mats = his + los
+    gK, gM = diagonal_1d_factors(space)
     return PallasLaplaceOperator(
         dim=space.dim,
         degree=p,
@@ -320,25 +478,52 @@ def make_pallas_laplace(
         bx=bx,
         by=by,
         interpret=interpret,
-        bands=tuple(jnp.asarray(v, dtype) for v in bands),
-        mask=jnp.asarray(space.free_mask(), dtype),
-        inv_diag=jnp.asarray(1.0 / diag, dtype),
+        core=core,
+        bands=tuple(jnp.asarray(v, dtype) for v in bands) if core == "banded"
+        else None,
+        dense_mats=dense_mats,
+        mask1=(jnp.asarray(space.free_mask_1d(), dtype),) * space.dim,
+        dK1=(jnp.asarray(gK, dtype),) * space.dim,
+        dM1=(jnp.asarray(gM, dtype),) * space.dim,
     )
 
 
-def make_laplace_auto(space: FESpace, dtype=jnp.float32, precision="high"):
+def make_laplace_auto(
+    space: FESpace, dtype=jnp.float32, precision="high", core: str = "banded"
+):
     """Fastest eligible operator: fused Pallas kernel where it applies,
     assembled-Kronecker XLA path otherwise.
 
-    Block-size choice: 8x8 cells measured fastest inside full V-cycles
-    (16x16 wins isolated apply micro-benchmarks via DMA pipelining across
-    chained calls, but loses in composed programs where the few large grid
-    steps pipeline poorly); 16x16 is used only on very large grids."""
+    ``core`` selects the kernel engine for eligible grids: "banded" (exact
+    f32, the CG/residual operator), "mxu" (bf16 smoother-grade — use ONLY
+    inside Chebyshev recurrences, where it provably preserves convergence
+    counts, tests/test_pallas_smoother.py), "mxu3" (f32-faithful hi/lo MXU).
+
+    Block-size choice: with in-kernel double-buffered input DMA, 16x16
+    blocks win both isolated and composed benchmarks (mxu core: 0.51 ms vs
+    1.26 ms at 8x8 on r=6 Q4); 8x8 remains the fallback for small grids."""
     if dtype == jnp.float32:
-        blocks = (16, 8) if space.mesh.cells_per_axis >= 128 else (8,)
-        for b in blocks:
-            if pallas_eligible(space, b, b) and (b * space.degree + 1) ** 2 * (
-                space.mesh.cells_per_axis * space.degree
-            ) * 4 * 8 < 100 * 1024 * 1024:
-                return make_pallas_laplace(space, dtype, bx=b, by=b)
+        for b in (16, 8):
+            # the banded core at 16x16 with 512 lanes crashes the Mosaic
+            # compiler (the unrolled roll chain gets too large); cap it
+            if (
+                core == "banded"
+                and b == 16
+                and space.mesh.cells_per_axis * space.degree > 256
+            ):
+                continue
+            if pallas_eligible(space, b, b):
+                X = Y = b * space.degree + 1
+                Z = space.mesh.cells_per_axis * space.degree
+                nbj = space.mesh.cells_per_axis // b
+                est = 4 * (
+                    2 * X * (Y + 7) * Z  # input slabs
+                    + 2 * (X - 1) * (Y - 1) * Z  # output slabs
+                    + 2 * nbj * Y * Z  # x-carry planes
+                    + 6 * X * Y * Z  # live intermediates
+                )
+                if est < 110 * 1024 * 1024:
+                    return make_pallas_laplace(
+                        space, dtype, bx=b, by=b, core=core
+                    )
     return make_laplace(space, dtype, variant="kron", precision=precision)

@@ -25,8 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..fem.assemble import assemble_rhs, l2_norm
 from ..fem.mesh import HyperCubeMesh
 from ..fem.space import FESpace
-from ..ops.laplace import LaplaceOperator, _diagonal_grid, make_laplace
-from ..ops.transfer import Transfer, _weights_1d
+from ..ops.laplace import LaplaceOperator, diagonal_1d_factors, make_laplace
+from ..ops.transfer import Transfer, _weights_1d, make_h_transfer
 from ..fem.basis import h_prolongation_matrix_1d
 from ..solvers.cg import cg
 from ..solvers.chebyshev import Chebyshev, chebyshev_bounds, \
@@ -116,6 +116,59 @@ def _tile2(arr, sx, sy, dtype):
     return jnp.broadcast_to(a[None, None], (sx, sy) + a.shape)
 
 
+def _tile_tree2(tree, sx, sy):
+    """Broadcast every leaf of a pytree with two leading mesh axes."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None, None], (sx, sy) + a.shape), tree
+    )
+
+
+@pytree_dataclass
+class Gather2DTransfer:
+    """Boundary transfer between a pencil-SHARDED fine level and a REPLICATED
+    coarse level on a 2D device mesh (the 2D analog of
+    parallel/sharding.py:GatherTransfer; reference coarsening to the base
+    mesh: source/geometric_multigrid/program.cc:137-147)."""
+
+    sx: int = static_field()
+    sy: int = static_field()
+    stride_x: int = static_field()
+    nx_pts: int = static_field()
+    stride_y: int = static_field()
+    ny_pts: int = static_field()
+    local: Transfer = None  # full-grid transfer for the level pair
+
+    def _assemble_full(self, f: jnp.ndarray) -> jnp.ndarray:
+        gx = jax.lax.all_gather(f, AX)  # [sx, Nx_loc, Ny_loc, ...]
+        f = jnp.concatenate(
+            [gx[0]] + [gx[s][1:] for s in range(1, self.sx)], axis=0
+        )
+        gy = jax.lax.all_gather(f, AY)  # [sy, Nx, Ny_loc, ...]
+        return jnp.concatenate(
+            [gy[0]] + [gy[s][:, 1:] for s in range(1, self.sy)], axis=1
+        )
+
+    def restrict(self, f: jnp.ndarray) -> jnp.ndarray:
+        return self.local.restrict(self._assemble_full(f))
+
+    def restrict_and_add(self, dst, f):
+        return dst + self.restrict(f)
+
+    def prolongate(self, c_full: jnp.ndarray) -> jnp.ndarray:
+        ff = self.local.prolongate(c_full)
+        ix = jax.lax.axis_index(AX)
+        iy = jax.lax.axis_index(AY)
+        ff = jax.lax.dynamic_slice_in_dim(
+            ff, ix * self.stride_x, self.nx_pts, axis=0
+        )
+        return jax.lax.dynamic_slice_in_dim(
+            ff, iy * self.stride_y, self.ny_pts, axis=1
+        )
+
+    def prolongate_and_add(self, dst, c_full):
+        return dst + self.prolongate(c_full)
+
+
 @dataclasses.dataclass
 class Sharded2DStats:
     iterations: int
@@ -156,23 +209,46 @@ class Sharded2DGeometricPoisson:
         )
         if refinements < min_ref:
             raise ValueError(f"need >= {min_ref} refinements")
+        # replicate levels below shard granularity so the hierarchy reaches
+        # the 1-cell base mesh (see parallel/poisson.py)
+        self.n_replicated = min_ref
         self.spaces = [
             FESpace(HyperCubeMesh(dim, r), degree)
-            for r in range(min_ref, refinements + 1)
+            for r in range(0, refinements + 1)
         ]
         self.mesh = Mesh(
             np.array(devices[: sx * sy]).reshape(sx, sy), (AX, AY)
         )
 
+        R = self.n_replicated
         levels = []
         for i, sp in enumerate(self.spaces):
-            levels.append(self._build_level(sp, coarse=(i == 0), variant=variant))
-            if i > 0:
-                levels[-1] = MGLevel(
-                    op=levels[-1].op,
-                    smoother=levels[-1].smoother,
-                    transfer=self._build_transfer(self.spaces[i - 1], sp),
+            lvl = self._build_level(
+                sp, coarse=(i == 0), variant=variant, replicated=(i < R)
+            )
+            if i == 0:
+                transfer = None
+            elif i < R:
+                transfer = _tile_tree2(
+                    make_h_transfer(self.spaces[i - 1], sp, dtype), sx, sy
                 )
+            elif i == R:
+                p = sp.degree
+                nlx = sp.mesh.cells_per_axis // sx
+                nly = sp.mesh.cells_per_axis // sy
+                transfer = Gather2DTransfer(
+                    sx=sx, sy=sy,
+                    stride_x=nlx * p, nx_pts=nlx * p + 1,
+                    stride_y=nly * p, ny_pts=nly * p + 1,
+                    local=_tile_tree2(
+                        make_h_transfer(self.spaces[i - 1], sp, dtype), sx, sy
+                    ),
+                )
+            else:
+                transfer = self._build_transfer(self.spaces[i - 1], sp)
+            levels.append(
+                MGLevel(op=lvl.op, smoother=lvl.smoother, transfer=transfer)
+            )
         self.levels_stacked = tuple(levels)
         fine = self.spaces[-1]
         n = fine.mesh.cells_per_axis
@@ -189,19 +265,39 @@ class Sharded2DGeometricPoisson:
 
         return dot_weights_axis0(n, self.degree, S)
 
-    def _build_level(self, sp: FESpace, coarse: bool, variant: str) -> MGLevel:
+    def _build_level(
+        self, sp: FESpace, coarse: bool, variant: str, replicated: bool = False
+    ) -> MGLevel:
         sx, sy = self.sx, self.sy
         dtype = self.dtype
         dim = sp.dim
         p = sp.degree
         n = sp.mesh.cells_per_axis
+
+        if replicated:
+            op_plain = make_laplace(sp, dtype, variant=variant)
+            v0 = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
+            n_iter = min(sp.n_dofs, 128) if coarse else 10
+            mn, mx = estimate_eigenvalues(
+                op_plain, None, n_iter, jnp.asarray(v0, dtype)
+            )
+            rng = 1e-3 if coarse else 15.0
+            alpha, beta, deg = chebyshev_bounds(mn, mx, rng,
+                                                None if coarse else 5)
+            smoother = Chebyshev(
+                degree=deg, op=None, inv_diag=None,
+                theta=_tile2(np.full((), (beta + alpha) / 2.0), sx, sy, dtype),
+                delta=_tile2(np.full((), (beta - alpha) / 2.0), sx, sy, dtype),
+            )
+            return MGLevel(op=_tile_tree2(op_plain, sx, sy),
+                           smoother=smoother, transfer=None)
         b = sp.basis
         qm = np.array(1.0)
         for _ in range(dim):
             qm = np.multiply.outer(qm, b.q_weights)
         qm = qm * sp.mesh.h ** (dim - 2)
-        mask = sp.free_mask()
-        diag = _diagonal_grid(sp)
+        m1 = sp.free_mask_1d()
+        gK, gM = diagonal_1d_factors(sp)
         Kg = Mg = None
         if variant == "kron":
             from ..ops.laplace import assembled_1d_matrices
@@ -217,6 +313,22 @@ class Sharded2DGeometricPoisson:
                 _tile2(Mx, sx, sy, dtype),
                 _tile2(My, sx, sy, dtype),
             ) + (_tile2(M1, sx, sy, dtype),) * (dim - 2)
+        # separable per-axis factors: axis 0 partitioned over sx (broadcast
+        # along sy), axis 1 over sy, remaining axes replicated whole
+        from .sharding import partition_axis0
+
+        def sep2(v):
+            vx = partition_axis0(v, n, p, sx)  # [sx, N_locx]
+            vy = partition_axis0(v, n, p, sy)  # [sy, N_locy]
+            return (
+                jnp.asarray(
+                    np.broadcast_to(vx[:, None], (sx, sy) + vx.shape[1:]), dtype
+                ),
+                jnp.asarray(
+                    np.broadcast_to(vy[None], (sx, sy) + vy.shape[1:]), dtype
+                ),
+            ) + (_tile2(v, sx, sy, dtype),) * (dim - 2)
+
         op = LaplaceOperator(
             dim=dim,
             degree=p,
@@ -225,10 +337,9 @@ class Sharded2DGeometricPoisson:
             B=_tile2(b.B, sx, sy, dtype),
             Dco=_tile2(b.Dco, sx, sy, dtype),
             qmetric=_tile2(qm, sx, sy, dtype),
-            mask=jnp.asarray(partition_2d(mask, n, p, sx, sy), dtype),
-            inv_diag=jnp.asarray(
-                partition_2d(1.0 / diag, n, p, sx, sy), dtype
-            ),
+            mask1=sep2(m1),
+            dK1=sep2(gK),
+            dM1=sep2(gM),
             Kg=Kg,
             Mg=Mg,
         )
@@ -247,7 +358,7 @@ class Sharded2DGeometricPoisson:
         smoother = Chebyshev(
             degree=deg,
             op=None,
-            inv_diag=op.inv_diag,
+            inv_diag=None,  # derived from the operator's 1D factors
             theta=_tile2(np.full((), (beta + alpha) / 2.0), sx, sy, dtype),
             delta=_tile2(np.full((), (beta - alpha) / 2.0), sx, sy, dtype),
         )
@@ -292,27 +403,33 @@ class Sharded2DGeometricPoisson:
         )
 
     def _assemble_local(self, levels_stacked):
+        R = getattr(self, "n_replicated", 0)
         out = []
-        for lvl in levels_stacked:
+        for i, lvl in enumerate(levels_stacked):
             op_loc = _unstack(_unstack(lvl.op))
-            sop = Sharded2DLaplace(sx=self.sx, sy=self.sy, local=op_loc)
+            if i < R:
+                op_w = op_loc  # replicated full-grid operator
+            else:
+                op_w = Sharded2DLaplace(sx=self.sx, sy=self.sy, local=op_loc)
             sm_st = lvl.smoother
             sm = Chebyshev(
                 degree=sm_st.degree,
-                op=sop,
-                inv_diag=sm_st.inv_diag[0, 0],
+                op=op_w,
+                inv_diag=None,  # op_w.inv_diag, formed from local 1D factors
                 theta=sm_st.theta[0, 0],
                 delta=sm_st.delta[0, 0],
             )
-            tr = (
-                Sharded2DTransfer(
+            if lvl.transfer is None:
+                tr = None
+            elif i <= R and R > 0:
+                # plain replicated transfer (i < R) or Gather2DTransfer (i == R)
+                tr = _unstack(_unstack(lvl.transfer))
+            else:
+                tr = Sharded2DTransfer(
                     sx=self.sx, sy=self.sy,
                     local=_unstack(_unstack(lvl.transfer)),
                 )
-                if lvl.transfer is not None
-                else None
-            )
-            out.append(MGLevel(op=sop, smoother=sm, transfer=tr))
+            out.append(MGLevel(op=op_w, smoother=sm, transfer=tr))
         return tuple(out)
 
     def solve(self, rtol: float = 1e-12, verbose: bool = False):

@@ -34,8 +34,8 @@ from ..fem.mesh import HyperCubeMesh
 from ..fem.space import FESpace
 from ..ops.laplace import (
     LaplaceOperator,
-    _diagonal_grid,
     assembled_1d_matrices,
+    diagonal_1d_factors,
     make_laplace,
 )
 from ..ops.transfer import Transfer, _weights_1d
@@ -44,7 +44,9 @@ from ..solvers.cg import cg
 from ..solvers.chebyshev import Chebyshev, chebyshev_bounds, estimate_eigenvalues, \
     _pseudo_random_grid
 from ..solvers.vcycle import MGLevel, VCycle
+from ..ops.transfer import make_h_transfer
 from .sharding import (
+    GatherTransfer,
     ShardedLaplaceOperator,
     ShardedTransfer,
     dot_weights_axis0,
@@ -93,14 +95,23 @@ def _build_stacked_operator(
     for _ in range(dim):
         qm = np.multiply.outer(qm, b.q_weights)
     qm = qm * space.mesh.h ** (dim - 2)
-    mask = space.free_mask()
-    diag = _diagonal_grid(space)
+    m1 = space.free_mask_1d()
+    gK, gM = diagonal_1d_factors(space)
     Kg = Mg = None
     if variant == "kron":
         K1, M1 = assembled_1d_matrices(space)
         K0, M0 = _partial_assembled_1d(space, n // S)
         Kg = (_tile(K0, S, dtype),) + (_tile(K1, S, dtype),) * (dim - 1)
         Mg = (_tile(M0, S, dtype),) + (_tile(M1, S, dtype),) * (dim - 1)
+    # separable mask/diagonal factors: the axis-0 factor is the GLOBAL 1D
+    # vector sliced to the slab (duplicated planes carry the global values,
+    # so the lazily formed mask/inv_diag match the single-device operator on
+    # every shard); remaining axes replicate the global factors.
+    def sep(v):
+        return (jnp.asarray(partition_axis0(v, n, p, S), dtype),) + (
+            _tile(v, S, dtype),
+        ) * (dim - 1)
+
     return LaplaceOperator(
         dim=dim,
         degree=p,
@@ -110,8 +121,9 @@ def _build_stacked_operator(
         B=_tile(b.B, S, dtype),
         Dco=_tile(b.Dco, S, dtype),
         qmetric=_tile(qm, S, dtype),
-        mask=jnp.asarray(partition_axis0(mask, n, p, S), dtype),
-        inv_diag=jnp.asarray(partition_axis0(1.0 / diag, n, p, S), dtype),
+        mask1=sep(m1),
+        dK1=sep(gK),
+        dM1=sep(gM),
         Kg=Kg,
         Mg=Mg,
     )
@@ -171,6 +183,13 @@ def _unstack(tree):
     return jax.tree_util.tree_map(lambda a: a[0], tree)
 
 
+def _tile_tree(tree, S):
+    """Broadcast every leaf of a pytree with a leading shard axis."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (S,) + a.shape), tree
+    )
+
+
 @dataclasses.dataclass
 class ShardedSolveStats:
     iterations: int
@@ -194,6 +213,7 @@ class ShardedGeometricPoisson:
         dtype=jnp.float64,
         variant: str = "sumfac",
         sharded_setup: bool = False,
+        replicate_coarse: bool = True,
     ):
         if devices is None:
             devices = jax.devices()
@@ -213,9 +233,15 @@ class ShardedGeometricPoisson:
             raise ValueError(
                 f"need >= {min_ref} refinements to give every one of {S} shards a cell slab"
             )
+        # levels below the shard granularity (fewer cell slabs than chips)
+        # are REPLICATED on every chip, so the hierarchy reaches the 1-cell
+        # base mesh exactly like the reference
+        # (source/geometric_multigrid/program.cc:137-147) and iteration
+        # counts match the single-device solver exactly.
+        self.n_replicated = min_ref if replicate_coarse else 0
         self.spaces = [
             FESpace(HyperCubeMesh(dim, r), degree)
-            for r in range(min_ref, refinements + 1)
+            for r in range(min_ref - self.n_replicated, refinements + 1)
         ]
         self.mesh = Mesh(np.array(self.devices), (AXIS,))
         self._build_levels(_build_stacked_h_transfer)
@@ -228,43 +254,71 @@ class ShardedGeometricPoisson:
         levels = []
         variant = getattr(self, "variant", "sumfac")
         sharded_setup = getattr(self, "sharded_setup", False)
+        R = getattr(self, "n_replicated", 0)
         for i, sp in enumerate(self.spaces):
-            op_stacked = _build_stacked_operator(sp, S, dtype, variant=variant)
+            replicated = i < R
             n_iter = min(sp.n_dofs, 128) if i == 0 else 10
             rng_v = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
-            if sharded_setup:
-                n = sp.mesh.cells_per_axis
-                v0_st = jnp.asarray(
-                    partition_axis0(rng_v, n, sp.degree, S), dtype
-                )
-                w_st = jnp.asarray(
-                    dot_weights_axis0(n, sp.degree, S), dtype
-                )
-                mn, mx = estimate_eigenvalues_sharded(
-                    op_stacked, self.mesh, AXIS, S, w_st, self.dim,
-                    n_iter, v0_st,
+            if replicated:
+                # below shard granularity: a plain full-grid operator,
+                # identical on every chip (deterministic replicated compute)
+                op_plain = make_laplace(sp, dtype, variant=variant)
+                op_stacked = _tile_tree(op_plain, S)
+                mn, mx = estimate_eigenvalues(
+                    op_plain, None, n_iter, jnp.asarray(rng_v, dtype)
                 )
             else:
-                twin = make_laplace(sp, dtype)
-                mn, mx = estimate_eigenvalues(
-                    twin, twin.inv_diag, n_iter, jnp.asarray(rng_v, dtype)
-                )
+                op_stacked = _build_stacked_operator(sp, S, dtype, variant=variant)
+                if sharded_setup:
+                    n = sp.mesh.cells_per_axis
+                    v0_st = jnp.asarray(
+                        partition_axis0(rng_v, n, sp.degree, S), dtype
+                    )
+                    w_st = jnp.asarray(
+                        dot_weights_axis0(n, sp.degree, S), dtype
+                    )
+                    mn, mx = estimate_eigenvalues_sharded(
+                        op_stacked, self.mesh, AXIS, S, w_st, self.dim,
+                        n_iter, v0_st,
+                    )
+                else:
+                    twin = make_laplace(sp, dtype)
+                    mn, mx = estimate_eigenvalues(
+                        twin, None, n_iter, jnp.asarray(rng_v, dtype)
+                    )
             if i == 0:
                 alpha, beta, deg = chebyshev_bounds(mn, mx, 1e-3, None)
             else:
                 alpha, beta, deg = chebyshev_bounds(mn, mx, 15.0, 5)
             smoother = Chebyshev(
                 degree=deg,
-                op=None,  # wired to the sharded operator inside shard_map
-                inv_diag=op_stacked.inv_diag,
+                op=None,  # wired to the (sharded/replicated) op in shard_map
+                inv_diag=None,  # derived from the operator's 1D factors
                 theta=_tile(np.full((), (beta + alpha) / 2.0), S, dtype),
                 delta=_tile(np.full((), (beta - alpha) / 2.0), S, dtype),
             )
-            transfer = (
-                transfer_builder(self.spaces[i - 1], sp, S, dtype)
-                if i > 0
-                else None
-            )
+            if i == 0:
+                transfer = None
+            elif i < R:
+                # replicated pair: plain full-grid transfer on every chip
+                transfer = _tile_tree(
+                    make_h_transfer(self.spaces[i - 1], sp, dtype), S
+                )
+            elif i == R and R > 0:
+                # boundary pair: replicated coarse <-> first sharded level
+                p = sp.degree
+                n_loc = sp.mesh.cells_per_axis // S
+                transfer = GatherTransfer(
+                    axis_name=AXIS,
+                    n_shards=S,
+                    slab_stride=n_loc * p,
+                    n_loc_points=n_loc * p + 1,
+                    local=_tile_tree(
+                        make_h_transfer(self.spaces[i - 1], sp, dtype), S
+                    ),
+                )
+            else:
+                transfer = transfer_builder(self.spaces[i - 1], sp, S, dtype)
             levels.append(MGLevel(op=op_stacked, smoother=smoother, transfer=transfer))
         self.levels_stacked = tuple(levels)
 
@@ -278,28 +332,40 @@ class ShardedGeometricPoisson:
 
     # ------------------------------------------------------------------
     def _assemble_local(self, levels_stacked):
-        """Inside shard_map: strip the shard axis and wire sharded wrappers."""
+        """Inside shard_map: strip the shard axis and wire sharded wrappers.
+
+        Levels below ``n_replicated`` run as plain full-grid operators and
+        transfers (replicated on every chip); the boundary level uses
+        GatherTransfer; everything above is halo-exchange sharded."""
         S = self.n_shards
+        R = getattr(self, "n_replicated", 0)
         out = []
-        for lvl in levels_stacked:
+        for i, lvl in enumerate(levels_stacked):
             op_loc = _unstack(lvl.op)
-            sop = ShardedLaplaceOperator(axis_name=AXIS, n_shards=S, local=op_loc)
+            if i < R:
+                op_w = op_loc
+            else:
+                op_w = ShardedLaplaceOperator(
+                    axis_name=AXIS, n_shards=S, local=op_loc
+                )
             sm_st = lvl.smoother
             sm = Chebyshev(
                 degree=sm_st.degree,
-                op=sop,
-                inv_diag=sm_st.inv_diag[0],
+                op=op_w,
+                inv_diag=None,  # op_w.inv_diag, formed from local 1D factors
                 theta=sm_st.theta[0],
                 delta=sm_st.delta[0],
             )
-            tr = (
-                ShardedTransfer(
+            if lvl.transfer is None:
+                tr = None
+            elif i <= R and R > 0:
+                # plain replicated transfer (i < R) or GatherTransfer (i == R)
+                tr = _unstack(lvl.transfer)
+            else:
+                tr = ShardedTransfer(
                     axis_name=AXIS, n_shards=S, local=_unstack(lvl.transfer)
                 )
-                if lvl.transfer is not None
-                else None
-            )
-            out.append(MGLevel(op=sop, smoother=sm, transfer=tr))
+            out.append(MGLevel(op=op_w, smoother=sm, transfer=tr))
         return tuple(out)
 
     def _make_solve(self, rtol: float, pre: int, post: int):

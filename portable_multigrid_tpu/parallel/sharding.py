@@ -166,6 +166,54 @@ class ShardedElasticityOperator:
     vmult = apply
 
 
+@pytree_dataclass
+class GatherTransfer:
+    """Boundary transfer between a slab-SHARDED fine level and a REPLICATED
+    coarse level.
+
+    The reference coarsens to the 1-cell base mesh regardless of rank count
+    (reference: source/geometric_multigrid/program.cc:137-147); below the
+    shard granularity (fewer cell slabs than chips) the TPU-native answer is
+    to replicate those ultra-coarse levels on every chip:
+
+      * restrict: all_gather the consistent fine slabs over ICI, reassemble
+        the full fine grid (dropping the duplicated planes) and restrict
+        locally — every chip deterministically computes the same full coarse
+        grid, so the replicated sub-hierarchy needs no further collectives;
+      * prolongate: run the full-grid prolongation locally (the boundary
+        level is tiny) and slice out this chip's slab.
+
+    ``local`` is the ordinary full-grid Transfer for the level pair.
+    """
+
+    axis_name: str = static_field()
+    n_shards: int = static_field()
+    slab_stride: int = static_field()  # fine-grid points per shard offset
+    n_loc_points: int = static_field()  # fine slab extent incl. shared plane
+    local: Transfer = None
+
+    def _assemble_full(self, f_slab: jnp.ndarray) -> jnp.ndarray:
+        st = jax.lax.all_gather(f_slab, self.axis_name)  # [S, N_loc, ...]
+        parts = [st[0]] + [st[s][1:] for s in range(1, self.n_shards)]
+        return jnp.concatenate(parts, axis=0)
+
+    def restrict(self, f_slab: jnp.ndarray) -> jnp.ndarray:
+        return self.local.restrict(self._assemble_full(f_slab))
+
+    def restrict_and_add(self, dst: jnp.ndarray, f_slab: jnp.ndarray):
+        return dst + self.restrict(f_slab)
+
+    def prolongate(self, c_full: jnp.ndarray) -> jnp.ndarray:
+        f_full = self.local.prolongate(c_full)
+        s = jax.lax.axis_index(self.axis_name)
+        return jax.lax.dynamic_slice_in_dim(
+            f_full, s * self.slab_stride, self.n_loc_points, axis=0
+        )
+
+    def prolongate_and_add(self, dst: jnp.ndarray, c_full: jnp.ndarray):
+        return dst + self.prolongate(c_full)
+
+
 # --------------------------------------------------------------------------
 # host-side partitioning helpers
 # --------------------------------------------------------------------------

@@ -54,22 +54,25 @@ class Chebyshev:
 
     degree: int = static_field()
     op: object = None
+    # None = derive from op.inv_diag at trace time (keeps huge grids out of
+    # the smoother pytree; the operator stores separable 1D factors)
     inv_diag: jnp.ndarray = None
     theta: jnp.ndarray = None  # (beta + alpha) / 2
     delta: jnp.ndarray = None  # (beta - alpha) / 2
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         """Return p(P^-1 A) P^-1 b — the preconditioner vmult with x0 = 0."""
+        inv_diag = self.inv_diag if self.inv_diag is not None else self.op.inv_diag
         sigma1 = self.theta / self.delta
         rho = 1.0 / sigma1
-        d = (self.inv_diag * b) / self.theta
+        d = (inv_diag * b) / self.theta
         x = d
         r = b
         for _ in range(1, self.degree):
             r = r - self.op.apply(d)
             rho_new = 1.0 / (2.0 * sigma1 - rho)
             d = (rho_new * rho) * d + (2.0 * rho_new / self.delta) * (
-                self.inv_diag * r
+                inv_diag * r
             )
             x = x + d
             rho = rho_new
@@ -81,17 +84,36 @@ def _pseudo_random_grid(shape, dtype) -> np.ndarray:
     return rng.uniform(-0.5, 0.5, size=shape).astype(np.float64)
 
 
+def _host_free_mask(op) -> np.ndarray | None:
+    """Host-side free-DoF mask for the eigenvalue start vector.
+
+    Prefers the operator's separable 1D factors (tiny device reads) over
+    materializing + reading back the full grid mask."""
+    m1 = getattr(op, "mask1", None)
+    if m1 is not None:
+        m = np.asarray(m1[0], dtype=np.float64)
+        for f in m1[1:]:
+            m = np.multiply.outer(m, np.asarray(f, dtype=np.float64))
+        return m
+    m = getattr(op, "mask", None)
+    return None if m is None else np.asarray(m, dtype=np.float64)
+
+
 def estimate_eigenvalues(
-    op, inv_diag: jnp.ndarray, n_iter: int, v0: jnp.ndarray
+    op, inv_diag: jnp.ndarray | None, n_iter: int, v0: jnp.ndarray
 ) -> tuple[float, float]:
-    """Extreme eigenvalues of P^-1 A via n_iter CG-Lanczos iterations."""
+    """Extreme eigenvalues of P^-1 A via n_iter CG-Lanczos iterations.
+
+    ``inv_diag=None`` derives the Jacobi preconditioner from ``op.inv_diag``
+    inside the traced program (no large captured constants)."""
     n_iter = int(n_iter)
 
     @jax.jit
     def run(b):
+        idg = op.inv_diag if inv_diag is None else inv_diag
         r = b
         x = jnp.zeros_like(b)
-        z = inv_diag * r
+        z = idg * r
         rz = jnp.vdot(r, z)
 
         def step(carry, _):
@@ -102,7 +124,7 @@ def estimate_eigenvalues(
             alpha = jnp.where(bad, jnp.inf, rz / jnp.where(pAp == 0, 1.0, pAp))
             x = x + jnp.where(bad, 0.0, alpha) * p
             r = r - jnp.where(bad, 0.0, alpha) * Ap
-            z = inv_diag * r
+            z = idg * r
             rz_new = jnp.vdot(r, z)
             beta = jnp.where(bad, 0.0, rz_new / jnp.where(rz == 0, 1.0, rz))
             p = z + beta * p
@@ -175,18 +197,43 @@ def make_chebyshev(
     the coarse-level Chebyshev-as-solver configuration (reference:
     source/geometric_multigrid/program.cc:267-279).
     """
-    if inv_diag is None:
-        inv_diag = op.inv_diag
-    dtype = inv_diag.dtype
-    v0 = _pseudo_random_grid(inv_diag.shape, dtype)
-    if free_mask is not None:
-        v0 = v0 * np.asarray(free_mask, dtype=np.float64)
-    elif hasattr(op, "mask") and op.mask is not None:
-        v0 = v0 * np.asarray(op.mask, dtype=np.float64)
-    n_iter = max(1, min(int(eig_cg_n_iterations), int(np.prod(inv_diag.shape))))
-    min_eig, max_eig = estimate_eigenvalues(
-        op, inv_diag, n_iter, jnp.asarray(v0, dtype)
-    )
+    if inv_diag is not None:
+        shape, dtype = inv_diag.shape, inv_diag.dtype
+    else:
+        # derive shape/dtype without materializing op.inv_diag (it may be a
+        # lazily computed O(N^dim) product of separable factors)
+        shape = getattr(op, "shape", None) or getattr(op, "grid_shape", None)
+        if shape is None:
+            shape, dtype = op.inv_diag.shape, op.inv_diag.dtype
+        else:
+            dtype = op.dtype if hasattr(op, "dtype") else op.inv_diag.dtype
+    if int(np.prod(shape)) > 2**25:
+        # huge grids: generate the start vector on device (host->device
+        # uploads through the tunneled attachment are too slow); any
+        # free-DoF-supported start vector yields the same Lanczos extremes
+        v0_dev = jax.random.uniform(
+            jax.random.PRNGKey(42), shape, dtype, -0.5, 0.5
+        )
+        if free_mask is not None:
+            v0_dev = v0_dev * jnp.asarray(free_mask, dtype)
+        elif getattr(op, "mask1", None) is not None:
+            for d, f in enumerate(op.mask1):
+                shp = [1] * len(shape)
+                shp[d] = f.shape[0]
+                v0_dev = v0_dev * f.reshape(shp)
+        elif getattr(op, "mask", None) is not None:
+            v0_dev = v0_dev * op.mask
+    else:
+        v0 = _pseudo_random_grid(shape, dtype)
+        if free_mask is not None:
+            v0 = v0 * np.asarray(free_mask, dtype=np.float64)
+        else:
+            m = _host_free_mask(op)
+            if m is not None:
+                v0 = v0 * m
+        v0_dev = jnp.asarray(v0, dtype)
+    n_iter = max(1, min(int(eig_cg_n_iterations), int(np.prod(shape))))
+    min_eig, max_eig = estimate_eigenvalues(op, inv_diag, n_iter, v0_dev)
     alpha, beta, deg = chebyshev_bounds(min_eig, max_eig, smoothing_range, degree)
     return Chebyshev(
         degree=deg,

@@ -1,0 +1,74 @@
+"""bf16 MXU smoother core: convergence-count preservation (interpret mode).
+
+The production V-cycle uses two Pallas kernel engines per fine level: the
+exact f32 banded core for level residuals and the outer CG, and the bf16
+MXU core ("mxu") ONLY inside the Chebyshev recurrence.  A bf16-grade
+operator everywhere in the V-cycle roughly doubles CG iterations (measured
+5 -> 11 on 3D Q4 r=3); restricted to the smoother interior it leaves the
+convergence history exactly unchanged.  This test pins that property.
+
+Interpret mode reproduces the bf16 rounding bit-for-bit on CPU (the casts
+are explicit in the kernel).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from portable_multigrid_tpu.models.mixed import MixedPrecisionPoisson
+from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+from portable_multigrid_tpu.solvers.chebyshev import Chebyshev
+from portable_multigrid_tpu.solvers.vcycle import MGLevel
+
+
+def _swap_fine_smoother(prob, core):
+    mxu = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core=core
+    )
+    lv = list(prob.levels)
+    l = lv[-1]
+    sm = Chebyshev(
+        degree=l.smoother.degree,
+        op=mxu,
+        inv_diag=None,
+        theta=l.smoother.theta,
+        delta=l.smoother.delta,
+    )
+    lv[-1] = MGLevel(op=l.op, smoother=sm, transfer=l.transfer)
+    prob.levels = tuple(lv)
+
+
+@pytest.mark.parametrize("core", ["mxu", "mxu3"])
+def test_mxu_smoother_preserves_convergence_counts(core):
+    dim, p, r = 3, 4, 2
+    base = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    _, st_base = base.solve()
+
+    prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    _swap_fine_smoother(prob, core)
+    _, st = prob.solve()
+
+    assert st.converged
+    assert st.iterations == st_base.iterations
+    assert st.solution_l2_norm == pytest.approx(
+        st_base.solution_l2_norm, rel=1e-10
+    )
+
+
+def test_mxu3_core_is_f32_faithful():
+    """hi/lo-split MXU core matches the exact operator to ~1e-6 relative."""
+    from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+    from portable_multigrid_tpu.fem.space import FESpace
+    from portable_multigrid_tpu.ops.laplace import make_laplace
+
+    sp = FESpace(HyperCubeMesh(3, 3), 4)
+    ref = make_laplace(sp, jnp.float32, variant="kron")
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(sp.grid_shape), jnp.float32)
+    want = np.asarray(ref.apply(u))
+    op = make_pallas_laplace(
+        sp, jnp.float32, bx=4, by=4, interpret=True, core="mxu3"
+    )
+    got = np.asarray(op.apply(u))
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-6, err

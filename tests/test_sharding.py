@@ -105,23 +105,27 @@ def test_sharded_solve_matches_single_device():
     single = GeometricMultigridPoisson(dim, p, r)
     x_1, st_1 = single.solve()
     assert st_s.converged and st_1.converged
-    # same hierarchy depth differs (sharded bottoms out at 8 cells/axis), so
-    # iteration counts may differ slightly; solutions must agree to the CG
-    # tolerance.
+    # levels below shard granularity are replicated, so the sharded
+    # hierarchy reaches the same 1-cell base mesh as the single-device
+    # solver (reference: source/geometric_multigrid/program.cc:137-147) and
+    # the iteration count matches EXACTLY.
+    assert st_s.dofs_per_level == st_1.dofs_per_level
+    assert st_s.iterations == st_1.iterations
     scale = np.abs(np.asarray(x_1)).max()
     np.testing.assert_allclose(
         np.asarray(x_s).reshape(-1),
         np.asarray(x_1).reshape(-1),
         atol=1e-9 * scale,
     )
-    assert st_s.iterations <= 10
 
 
 def test_sharded_solve_two_devices():
     sharded = ShardedGeometricPoisson(2, 3, 3, devices=jax.devices()[:2])
     x, st = sharded.solve()
+    single = GeometricMultigridPoisson(2, 3, 3)
+    _, st_1 = single.solve()
     assert st.converged
-    assert st.iterations <= 10
+    assert st.iterations == st_1.iterations
     assert st.solution_l2_norm == pytest.approx(0.0412615, rel=1e-4)
 
 
