@@ -76,21 +76,31 @@ def main():
 
     # --- V-cycle benchmark: the production preconditioner ------------------
     # (reference smoother setup: source/geometric_multigrid/program.cc:259-287)
+    from portable_multigrid_tpu.ops.pallas_laplace import PallasLaplaceOperator
+
     levels = []
     for i, sp in enumerate(spaces):
         lop = build_op(sp)
-        # bf16-grade MXU kernel inside the Chebyshev recurrence only (the
-        # exact banded kernel keeps residuals/CG f32-exact); convergence
-        # counts verified unchanged in tests/test_pallas_smoother.py
-        sop = build_op(sp, core=smoother_core) if variant == "auto" else lop
+        # bf16-grade MXU kernel inside the (fully kernel-fused) Chebyshev
+        # recurrence only — the exact banded kernel keeps residuals/CG
+        # f32-exact; convergence counts verified unchanged in
+        # tests/test_pallas_smoother.py
+        fused = None
+        if variant == "auto" and i > 0 and isinstance(
+            lop, PallasLaplaceOperator
+        ) and smoother_core in ("mxu", "mxu3", "banded"):
+            fused = build_op(sp, core=smoother_core)
+            if not isinstance(fused, PallasLaplaceOperator):
+                fused = None
         if i == 0:
             sm = make_chebyshev(
-                sop, smoothing_range=1e-3, degree=None,
+                lop, smoothing_range=1e-3, degree=None,
                 eig_cg_n_iterations=min(sp.n_dofs, 128),
             )
         else:
             sm = make_chebyshev(
-                sop, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10
+                lop, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
+                fused_smoother_op=fused,
             )
         tr = make_h_transfer(spaces[i - 1], sp, dtype) if i > 0 else None
         levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))

@@ -63,20 +63,22 @@ def _build_level(
             # residuals and CG stay on the exact banded kernel) — verified
             # to preserve convergence counts in tests/test_pallas_smoother.py
             smoother_op = make_laplace_auto(space, dtype, core="mxu")
+            if not isinstance(smoother_op, PallasLaplaceOperator):
+                smoother_op = None
     else:
         op = make_laplace(space, dtype, variant=variant)
-    if smoother_op is None:
-        smoother_op = op
+    fused = smoother_op if smoother_op is not None and not coarse else None
     if coarse:
         smoother = make_chebyshev(
-            smoother_op,
+            op,
             smoothing_range=1e-3,
             degree=None,
             eig_cg_n_iterations=space.n_dofs,
         )
     else:
         smoother = make_chebyshev(
-            smoother_op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10
+            op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
+            fused_smoother_op=fused,
         )
     return op, smoother
 

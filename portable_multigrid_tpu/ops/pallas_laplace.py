@@ -81,6 +81,13 @@ class PallasLaplaceOperator:
     # accumulation (smoother-grade: ~1e-3 relative operator perturbation,
     # which Chebyshev smoothing absorbs — see tests/test_mixed.py)
     core: str = static_field(default="banded")
+    # x-axis constraint masking: "iota" = both global x-ends are Dirichlet
+    # (single-chip cube); "vector" = multiply by the mask1[0] window instead
+    # — per-SHARD data, so slab operators under shard_map keep interior
+    # shard boundaries unmasked and emit raw partial planes for halo_sum
+    # (reference parity: one hot kernel for serial and MPI runs,
+    # include/operators/portable_laplace_operator.h:557-719)
+    xmask: str = static_field(default="iota")
     bands: tuple = None  # (Kzb, Mzb, Kxb, Mxb, Kyb, Myb)
     dense_mats: tuple = None  # (Kz, Mz, Kx, Mx, KyB, MyB) bf16 ("mxu" core)
     # separable mask/diagonal factors (see LaplaceOperator: O(N) storage so
@@ -130,25 +137,73 @@ class PallasLaplaceOperator:
         return out
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Full vmult: A_eff = M A M + (I - M) (pad + combine around _run)."""
+        u = u.reshape(self.grid_shape)
+        au = self._run("apply", u)
+        # global last planes are Dirichlet faces (mask == 0 there): zero-pad
+        # back to the full grid; XLA fuses pad + mask combine into one pass
+        au = jnp.pad(au, ((0, 1), (0, 1), (0, 1)))
+        m = self.mask
+        return m * au + (1.0 - m) * u
+
+    def _run(self, mode: str, u: jnp.ndarray, blocked_ins=(), scal=None):
+        """Shared block-grid / carry-plane kernel skeleton, three programs:
+
+        * "apply":    outv = (M A M u) trimmed to (N0-1, N1-1, Z); u full.
+        * "residual": the first half of a Chebyshev smoothing step, fused:
+                      r0 = rhs - M A M u (u, rhs full), d0 = r0/(theta·diag);
+                      blocked_ins = (rhs,), scal = [[theta, ·]].
+        * "cheb":     one fused Chebyshev recurrence step on TRIMMED state
+                      (constrained entries identically zero by invariant):
+                      r' = r - M A M d; d' = c0 d + c1 r'/diag; x' = x + d';
+                      u = d (trimmed), blocked_ins = (r, x) (trimmed),
+                      scal = [[c0, c1]].
+
+        Fused modes cut the smoother's elementwise HBM traffic: the
+        recurrence updates ride the operator kernel's DMA streams instead of
+        separate XLA passes (the analog of the reference folding the
+        Chebyshev axpys into its cell loop would not be possible in Kokkos —
+        this is a TPU-side win from kernel fusion).
+        """
         p = self.degree
-        n = self.n[0]
-        N = n * p + 1
+        n0, n1, n2 = self.n
+        N0, N1 = n0 * p + 1, n1 * p + 1
         bx, by = self.bx, self.by
-        X, Y, Z = bx * p + 1, by * p + 1, n * p
-        nbi, nbj = n // bx, n // by
-        byp = by * p
+        X, Y, Z = bx * p + 1, by * p + 1, n2 * p
+        nbi, nbj = n0 // bx, n1 // by
+        byp, bxp = by * p, bx * p
         dtype = self.dtype
         nb = 2 * p + 1
         core = self.core
+        trimmed_in = mode == "cheb"
 
         if byp % 8 != 0:
             raise ValueError("pallas kernel requires by*p % 8 == 0")
 
         n_mats = 12 if core == "mxu3" else 6
+        n_facs = 0 if mode == "apply" else 6
+        n_scal = 0 if scal is None else 1
+        n_bins = len(blocked_ins)
+        n_outs = {"apply": 1, "residual": 2, "cheb": 3}[mode]
+        xmask_vec = self.xmask == "vector"
+        n_xm = 1 if xmask_vec else 0
 
         def kernel(u_hbm, *refs):
             mat_refs = refs[:n_mats]
-            (out_hbm, slab, outs, carry_y, carry_x, sems) = refs[n_mats:]
+            pos = n_mats
+            fac_refs = refs[pos: pos + n_facs]
+            pos += n_facs
+            xm_r = refs[pos] if xmask_vec else None
+            pos += n_xm
+            scal_r = refs[pos] if n_scal else None
+            pos += n_scal
+            bin_refs = refs[pos: pos + n_bins]
+            pos += n_bins
+            if mode == "apply":
+                (out_hbm, slab, outs, carry_y, carry_x, sems) = refs[pos:]
+            else:
+                out_refs = refs[pos: pos + n_outs]
+                (slab, carry_y, carry_x, sems) = refs[pos + n_outs:]
             (Az_r, Bz_r, Ax_r, Bx_r, Ay_r, By_r) = mat_refs[:6]
             i = pl.program_id(0)
             j = pl.program_id(1)
@@ -158,27 +213,59 @@ class PallasLaplaceOperator:
             # ---- double-buffered input: prefetch block k+1 while block k
             # computes (the write-back side is double-buffered symmetrically
             # below).  The y-window is the aligned byp-row body plus the next
-            # 8 rows (zeros on the last j-block).
-            def in_main(slot, ii, jj):
+            # 8 rows (zeros on the last j-block).  Trimmed inputs lack the
+            # global last x-plane: the last i-block fetches X-1 rows and
+            # zeroes the window's final row (it is masked out anyway, but
+            # VMEM garbage may be non-finite and 0*inf = nan).
+            def in_main(slot, ii, jj, rows):
                 return pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(ii * bx * p, X), pl.ds(jj * byp, byp),
+                    u_hbm.at[pl.ds(ii * bx * p, rows), pl.ds(jj * byp, byp),
                              pl.ds(0, Z)],
-                    slab.at[slot, :, 0:byp, :], sems.at[slot],
+                    slab.at[slot, 0:rows, 0:byp, :], sems.at[slot],
                 )
 
-            def in_tail(slot, ii, jj):
+            def in_tail(slot, ii, jj, rows):
                 return pltpu.make_async_copy(
-                    u_hbm.at[pl.ds(ii * bx * p, X),
+                    u_hbm.at[pl.ds(ii * bx * p, rows),
                              pl.ds((jj + 1) * byp, 8), pl.ds(0, Z)],
-                    slab.at[slot, :, byp: byp + 8, :], sems.at[2 + slot],
+                    slab.at[slot, 0:rows, byp: byp + 8, :], sems.at[2 + slot],
                 )
+
+            def on_rows(ii, fn):
+                """Run fn with the static row count of block-row ii (the last
+                block of a trimmed input is one row short — DMA sizes must be
+                static, so branch with pl.when).  With a single block row the
+                X-row variant would trace an out-of-bounds slice: skip it."""
+                if not trimmed_in:
+                    fn(X)
+                    return
+                if nbi == 1:
+                    fn(X - 1)
+                    return
+
+                @pl.when(ii == nbi - 1)
+                def _():
+                    fn(X - 1)
+
+                @pl.when(ii < nbi - 1)
+                def _():
+                    fn(X)
 
             def start_fetch(slot, ii, jj):
-                in_main(slot, ii, jj).start()
+                on_rows(ii, lambda rows: in_main(slot, ii, jj, rows).start())
+                if trimmed_in:
+
+                    @pl.when(ii == nbi - 1)
+                    def _():
+                        slab[slot, X - 1: X, :, :] = jnp.zeros(
+                            (1, byp + 8, Z), dtype
+                        )
 
                 @pl.when(jj < nbj - 1)
                 def _():
-                    in_tail(slot, ii, jj).start()
+                    on_rows(
+                        ii, lambda rows: in_tail(slot, ii, jj, rows).start()
+                    )
 
                 @pl.when(jj == nbj - 1)
                 def _():
@@ -195,18 +282,21 @@ class PallasLaplaceOperator:
                     1 - islot, k1 // nbj, jax.lax.rem(k1, jnp.int32(nbj))
                 )
 
-            in_main(islot, i, j).wait()
+            on_rows(i, lambda rows: in_main(islot, i, j, rows).wait())
 
             @pl.when(j < nbj - 1)
             def _():
-                in_tail(islot, i, j).wait()
+                on_rows(i, lambda rows: in_tail(islot, i, j, rows).wait())
 
-            xi = jax.lax.broadcasted_iota(jnp.int32, (X, 1, 1), 0)
             yi = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
-            mvx = jnp.logical_and(
-                jnp.logical_or(i > 0, xi > 0),
-                jnp.logical_or(i < nbi - 1, xi < X - 1),
-            ).astype(dtype)
+            if xmask_vec:
+                mvx = xm_r[pl.ds(i * bxp, X), :, :]
+            else:
+                xi = jax.lax.broadcasted_iota(jnp.int32, (X, 1, 1), 0)
+                mvx = jnp.logical_and(
+                    jnp.logical_or(i > 0, xi > 0),
+                    jnp.logical_or(i < nbi - 1, xi < X - 1),
+                ).astype(dtype)
             mvy = jnp.logical_and(
                 jnp.logical_or(j > 0, yi > 0),
                 jnp.logical_or(j < nbj - 1, yi < Y - 1),
@@ -331,71 +421,142 @@ class PallasLaplaceOperator:
             outv = jnp.concatenate([plane_x0, outv[1:, :, :]], axis=0)
             outv = outv * mvx[: X - 1] * mvy[:, : Y - 1]
 
-            # double-buffered output write-back: start this block's DMA and
-            # only wait for it one grid step later (before its slot is
-            # reused), so compute overlaps the write.
-            oslot = jax.lax.rem(k, jnp.int32(2))
+            if mode == "apply":
+                # double-buffered output write-back: start this block's DMA
+                # and only wait for it one grid step later (before its slot
+                # is reused), so compute overlaps the write.
+                oslot = jax.lax.rem(k, jnp.int32(2))
 
-            def out_dma(slot, ii, jj):
-                return pltpu.make_async_copy(
-                    outs.at[slot],
-                    out_hbm.at[pl.ds(ii * bx * p, X - 1),
-                               pl.ds(jj * byp, Y - 1), pl.ds(0, Z)],
-                    sems.at[4 + slot],
-                )
+                def out_dma(slot, ii, jj):
+                    return pltpu.make_async_copy(
+                        outs.at[slot],
+                        out_hbm.at[pl.ds(ii * bx * p, X - 1),
+                                   pl.ds(jj * byp, Y - 1), pl.ds(0, Z)],
+                        sems.at[4 + slot],
+                    )
 
-            @pl.when(k >= 2)
-            def _():
-                k2 = k - 2
-                out_dma(oslot, k2 // nbj, jax.lax.rem(k2, jnp.int32(nbj))).wait()
-
-            outs[oslot] = outv
-            cout = out_dma(oslot, i, j)
-            cout.start()
-
-            # drain both in-flight writes at the final grid step
-            @pl.when(k == nbi * nbj - 1)
-            def _():
-                cout.wait()
-
-                @pl.when(k >= 1)
+                @pl.when(k >= 2)
                 def _():
-                    k1 = k - 1
+                    k2 = k - 2
                     out_dma(
-                        1 - oslot, k1 // nbj, jax.lax.rem(k1, jnp.int32(nbj))
+                        oslot, k2 // nbj, jax.lax.rem(k2, jnp.int32(nbj))
                     ).wait()
 
+                outs[oslot] = outv
+                cout = out_dma(oslot, i, j)
+                cout.start()
+
+                # drain both in-flight writes at the final grid step
+                @pl.when(k == nbi * nbj - 1)
+                def _():
+                    cout.wait()
+
+                    @pl.when(k >= 1)
+                    def _():
+                        k1 = k - 1
+                        out_dma(
+                            1 - oslot, k1 // nbj,
+                            jax.lax.rem(k1, jnp.int32(nbj)),
+                        ).wait()
+                return
+
+            # ---- fused epilogues: the inverse diagonal is rebuilt in-VMEM
+            # from per-axis 1D factors (cheaper than streaming a 3D diagonal
+            # from HBM; VPU is idle while the MXU core runs the matmuls).
+            # Constrained entries carry raw (unmasked) diagonal values — the
+            # trimmed recurrence state is identically zero there.
+            (xK_r, xM_r, yK_r, yM_r, zK_r, zM_r) = fac_refs
+            xK = xK_r[pl.ds(i * bxp, bxp), :, :]
+            xM = xM_r[pl.ds(i * bxp, bxp), :, :]
+            yK = yK_r[:, pl.ds(j * byp, byp), :]
+            yM = yM_r[:, pl.ds(j * byp, byp), :]
+            zK = zK_r[...]
+            zM = zM_r[...]
+            diag = xK * yM * zM + xM * (yK * zM + yM * zK)
+
+            if mode == "residual":
+                rhs_blk = bin_refs[0][...]
+                theta = scal_r[0, 0]
+                r0 = rhs_blk - outv
+                out_refs[0][...] = r0
+                out_refs[1][...] = r0 / (theta * diag)
+            else:  # "cheb"
+                d_blk = slab[islot, : X - 1, 0:byp, :]
+                r_blk = bin_refs[0][...]
+                x_blk = bin_refs[1][...]
+                c0 = scal_r[0, 0]
+                c1 = scal_r[0, 1]
+                rn = r_blk - outv
+                dn = c0 * d_blk + (c1 / diag) * rn
+                out_refs[0][...] = rn
+                out_refs[1][...] = dn
+                out_refs[2][...] = x_blk + dn
+
         mats = self.bands if core == "banded" else self.dense_mats
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+        ] * n_mats
+        operands = list(mats)
+        if n_facs:
+            dKx, dKy, dKz = self.dK1
+            dMx, dMy, dMz = self.dM1
+            operands += [
+                dKx[: N0 - 1].reshape(-1, 1, 1),
+                dMx[: N0 - 1].reshape(-1, 1, 1),
+                dKy[: N1 - 1].reshape(1, -1, 1),
+                dMy[: N1 - 1].reshape(1, -1, 1),
+                dKz[:Z].reshape(1, 1, -1),
+                dMz[:Z].reshape(1, 1, -1),
+            ]
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        if xmask_vec:
+            operands.append(self.mask1[0].reshape(-1, 1, 1))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if n_scal:
+            operands.append(jnp.asarray(scal, jnp.float32).reshape(1, 2))
+            in_specs.append(
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
+        blk = (bxp, byp, Z)
+        blk_spec = pl.BlockSpec(blk, lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+        for b_in in blocked_ins:
+            operands.append(b_in)
+            in_specs.append(blk_spec)
+
+        trimmed = jax.ShapeDtypeStruct((N0 - 1, N1 - 1, Z), dtype)
+        if mode == "apply":
+            out_specs = pl.BlockSpec(memory_space=pl.ANY)
+            out_shape = trimmed
+        else:
+            out_specs = (blk_spec,) * n_outs
+            out_shape = (trimmed,) * n_outs
+
+        scratch = [pltpu.VMEM((2, X, byp + 8, Z), dtype)]
+        if mode == "apply":
+            scratch.append(pltpu.VMEM((2, X - 1, Y - 1, Z), dtype))
+        scratch += [
+            pltpu.VMEM((X, Z), dtype),
+            pltpu.VMEM((2, nbj, Y, Z), dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ]
         inner = pl.pallas_call(
             kernel,
             grid=(nbi, nbj),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_mats,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            # trimmed, fully-written output (the global last planes are
-            # Dirichlet faces, re-added by a fused zero-pad below) — avoids
-            # both uninitialized-memory hazards and three update-slice passes
-            out_shape=jax.ShapeDtypeStruct((N - 1, N - 1, Z), dtype),
-            scratch_shapes=[
-                pltpu.VMEM((2, X, byp + 8, Z), dtype),
-                pltpu.VMEM((2, X - 1, Y - 1, Z), dtype),
-                pltpu.VMEM((X, Z), dtype),
-                pltpu.VMEM((2, nbj, Y, Z), dtype),
-                pltpu.SemaphoreType.DMA((6,)),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            # trimmed, fully-written outputs (the global last planes are
+            # Dirichlet faces, re-added by a fused zero-pad in apply();
+            # fused-mode state lives trimmed throughout the smoother)
+            out_shape=out_shape,
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024,
             ),
             interpret=self.interpret,
         )
-
-        u = u.reshape(self.grid_shape)
-        au = inner(u, *mats)
-        # global last planes are Dirichlet faces (mask == 0 there): zero-pad
-        # back to the full grid; XLA fuses pad + mask combine into one pass
-        au = jnp.pad(au, ((0, 1), (0, 1), (0, 1)))
-        m = self.mask
-        return m * au + (1.0 - m) * u
+        return inner(u, *operands)
 
     vmult = apply
 
@@ -485,6 +646,113 @@ def make_pallas_laplace(
         mask1=(jnp.asarray(space.free_mask_1d(), dtype),) * space.dim,
         dK1=(jnp.asarray(gK, dtype),) * space.dim,
         dM1=(jnp.asarray(gM, dtype),) * space.dim,
+    )
+
+
+def slab_pallas_eligible(
+    space: FESpace, n_loc: int, bx: int = 8, by: int = 8
+) -> bool:
+    n, p = space.mesh.cells_per_axis, space.degree
+    return (
+        space.dim == 3
+        and (n * p) % 128 == 0
+        and n_loc % bx == 0
+        and n % by == 0
+        and (bx * p) % 8 == 0
+        and (by * p) % 8 == 0
+    )
+
+
+def make_pallas_slab(
+    space: FESpace,
+    n_loc: int,
+    dtype=jnp.float32,
+    bx: int = 8,
+    by: int = 8,
+    core: str = "banded",
+    interpret: bool = False,
+) -> PallasLaplaceOperator:
+    """Slab operator for shard_map: n_loc cells along sharded axis 0, full
+    y/z extents.  x-masking runs in "vector" mode so interior shard
+    boundaries stay unmasked and the kernel emits raw partial planes for
+    halo accumulation; the caller must replace mask1[0]/dK1[0]/dM1[0] with
+    the per-shard slices of the global factors (parallel/poisson.py does).
+
+    The kernel itself is partition-agnostic, mirroring the reference's one
+    hot kernel for serial and MPI runs (reference:
+    include/operators/portable_laplace_operator.h:557-719)."""
+    if not (interpret or slab_pallas_eligible(space, n_loc, bx, by)):
+        raise ValueError("slab not eligible for the pallas kernel")
+    p = space.degree
+    n = space.mesh.cells_per_axis
+    X, Y, Z = bx * p + 1, by * p + 1, n * p
+    nb = 2 * p + 1
+    K1, M1 = assembled_1d_matrices(space)
+    m1 = space.free_mask_1d()
+
+    b = make_basis(p)
+    W = np.diag(b.q_weights)
+    Kc = (b.D.T @ W @ b.D) / space.mesh.h
+    Mc = (b.B.T @ W @ b.B) * space.mesh.h
+
+    def local_1d(blk):
+        w = blk * p + 1
+        K = np.zeros((w, w))
+        M = np.zeros((w, w))
+        for c in range(blk):
+            sl = slice(c * p, c * p + p + 1)
+            K[sl, sl] += Kc
+            M[sl, sl] += Mc
+        return K, M
+
+    Kzm = (m1[:, None] * K1 * m1[None, :])[:Z, :Z]
+    Mzm = (m1[:, None] * M1 * m1[None, :])[:Z, :Z]
+    Kxl, Mxl = local_1d(bx)
+    Kyl, Myl = local_1d(by)
+    bands = (
+        to_bands(Kzm, p).reshape(nb, 1, 1, Z),
+        to_bands(Mzm, p).reshape(nb, 1, 1, Z),
+        to_bands(Kxl, p).reshape(nb, X, 1, 1),
+        to_bands(Mxl, p).reshape(nb, X, 1, 1),
+        to_bands(Kyl, p).reshape(nb, 1, Y, 1),
+        to_bands(Myl, p).reshape(nb, 1, Y, 1),
+    )
+    dense_mats = None
+    if core in ("mxu", "mxu3"):
+        bf = jnp.bfloat16
+        KyB = np.broadcast_to(Kyl, (X,) + Kyl.shape)
+        MyB = np.broadcast_to(Myl, (X,) + Myl.shape)
+        dense = (Kzm, Mzm, Kxl, Mxl, KyB, MyB)
+        his = tuple(jnp.asarray(w, bf) for w in dense)
+        dense_mats = his
+        if core == "mxu3":
+            los = tuple(
+                jnp.asarray(
+                    np.asarray(w, np.float32) - np.asarray(h, np.float32), bf
+                )
+                for w, h in zip(dense, his)
+            )
+            dense_mats = his + los
+    gK, gM = diagonal_1d_factors(space)
+    m1j = jnp.asarray(m1, dtype)
+    gKj, gMj = jnp.asarray(gK, dtype), jnp.asarray(gM, dtype)
+    # axis-0 entries are the GLOBAL factors; the stacked builder partitions
+    # them into per-shard slices of length n_loc*p + 1
+    return PallasLaplaceOperator(
+        dim=space.dim,
+        degree=p,
+        n=(n_loc, n, n),
+        bx=bx,
+        by=by,
+        interpret=interpret,
+        core=core,
+        xmask="vector",
+        bands=tuple(jnp.asarray(v, dtype) for v in bands)
+        if core == "banded" else None,
+        dense_mats=dense_mats,
+        mask1=(m1j, m1j, m1j),
+        dK1=(gKj, gKj, gKj),
+        dM1=(gMj, gMj, gMj),
     )
 
 

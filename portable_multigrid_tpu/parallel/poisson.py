@@ -178,6 +178,69 @@ def _build_stacked_p_transfer(
     )
 
 
+def _build_stacked_pallas(
+    space: FESpace, S: int, dtype, core: str = "banded",
+    interpret: bool = False,
+):
+    """Stacked ShardedPallasLaplace for a level, or None if ineligible.
+
+    The slab kernel is shard-independent except for the axis-0 mask/diag
+    factors, which are partitioned slices of the global 1D vectors."""
+    import dataclasses as _dc
+
+    from ..ops.pallas_laplace import make_pallas_slab, slab_pallas_eligible
+    from .sharding import ShardedPallasLaplace
+
+    if dtype != jnp.float32:
+        return None
+    n, p = space.mesh.cells_per_axis, space.degree
+    if n % S:
+        return None
+    n_loc = n // S
+
+    def pick(limit, cells):
+        for b in (16, 8, 4, 2, 1):
+            if b <= limit and cells % b == 0 and (b * p) % 8 == 0:
+                return b
+        return None
+
+    bx = pick(16, n_loc)
+    by = pick(16, n)
+    if bx is None or by is None:
+        return None
+    if not (interpret or slab_pallas_eligible(space, n_loc, bx, by)):
+        return None
+    base = make_pallas_slab(
+        space, n_loc, dtype, bx=bx, by=by, core=core, interpret=interpret
+    )
+    m1 = space.free_mask_1d()
+    gK, gM = diagonal_1d_factors(space)
+
+    def part(v):
+        return jnp.asarray(partition_axis0(v, n, p, S), dtype)
+
+    stacked = _tile_tree(base, S)
+    stacked = _dc.replace(
+        stacked,
+        mask1=(part(m1),) + stacked.mask1[1:],
+        dK1=(part(gK),) + stacked.dK1[1:],
+        dM1=(part(gM),) + stacked.dM1[1:],
+    )
+    Kp, Mp = _partial_assembled_1d(space, n_loc)
+    K1, M1 = assembled_1d_matrices(space)
+    K1m = m1[:, None] * K1 * m1[None, :]
+    M1m = m1[:, None] * M1 * m1[None, :]
+    return ShardedPallasLaplace(
+        axis_name=AXIS,
+        n_shards=S,
+        local=stacked,
+        thin_kx=_tile(Kp[-1, -(p + 1):], S, dtype),
+        thin_mx=_tile(Mp[-1, -(p + 1):], S, dtype),
+        K1m=_tile(K1m, S, dtype),
+        M1m=_tile(M1m, S, dtype),
+    )
+
+
 def _unstack(tree):
     """Drop the leading (sharded, now size-1) axis from every leaf."""
     return jax.tree_util.tree_map(lambda a: a[0], tree)
@@ -214,6 +277,7 @@ class ShardedGeometricPoisson:
         variant: str = "sumfac",
         sharded_setup: bool = False,
         replicate_coarse: bool = True,
+        pallas_interpret: bool = False,
     ):
         if devices is None:
             devices = jax.devices()
@@ -227,6 +291,7 @@ class ShardedGeometricPoisson:
         self.degree = degree
         self.variant = variant
         self.sharded_setup = sharded_setup
+        self.pallas_interpret = pallas_interpret
 
         min_ref = max(int(math.ceil(math.log2(max(S, 1)))), 0)
         if refinements < min_ref:
@@ -262,14 +327,29 @@ class ShardedGeometricPoisson:
             if replicated:
                 # below shard granularity: a plain full-grid operator,
                 # identical on every chip (deterministic replicated compute)
-                op_plain = make_laplace(sp, dtype, variant=variant)
+                op_plain = make_laplace(
+                    sp, dtype,
+                    variant="kron" if variant == "pallas" else variant,
+                )
                 op_stacked = _tile_tree(op_plain, S)
                 mn, mx = estimate_eigenvalues(
                     op_plain, None, n_iter, jnp.asarray(rng_v, dtype)
                 )
             else:
-                op_stacked = _build_stacked_operator(sp, S, dtype, variant=variant)
-                if sharded_setup:
+                op_stacked = None
+                if variant == "pallas":
+                    op_stacked = _build_stacked_pallas(
+                        sp, S, dtype,
+                        interpret=getattr(self, "pallas_interpret", False),
+                    )
+                if op_stacked is None:
+                    op_stacked = _build_stacked_operator(
+                        sp, S, dtype,
+                        variant="kron" if variant == "pallas" else variant,
+                    )
+                from .sharding import ShardedPallasLaplace as _SPL
+
+                if sharded_setup and not isinstance(op_stacked, _SPL):
                     n = sp.mesh.cells_per_axis
                     v0_st = jnp.asarray(
                         partition_axis0(rng_v, n, sp.degree, S), dtype
@@ -338,12 +418,14 @@ class ShardedGeometricPoisson:
         transfers (replicated on every chip); the boundary level uses
         GatherTransfer; everything above is halo-exchange sharded."""
         S = self.n_shards
+        from .sharding import ShardedPallasLaplace as _SPL
+
         R = getattr(self, "n_replicated", 0)
         out = []
         for i, lvl in enumerate(levels_stacked):
             op_loc = _unstack(lvl.op)
-            if i < R:
-                op_w = op_loc
+            if i < R or isinstance(op_loc, _SPL):
+                op_w = op_loc  # replicated plain op / self-contained wrapper
             else:
                 op_w = ShardedLaplaceOperator(
                     axis_name=AXIS, n_shards=S, local=op_loc

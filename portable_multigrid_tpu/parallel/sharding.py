@@ -167,6 +167,76 @@ class ShardedElasticityOperator:
 
 
 @pytree_dataclass
+class ShardedPallasLaplace:
+    """Fused Pallas kernel on a slab-sharded grid: the kernel runs with
+    per-shard x-mask vectors (interior shard boundaries unmasked), emits raw
+    partial boundary planes, and ONE halo_sum completes the assembly before
+    the constraint-mask combine — the same single hot kernel for serial and
+    distributed runs as the reference (reference:
+    include/operators/portable_laplace_operator.h:557-719).
+
+    The kernel's trimmed output drops the slab's LAST x-plane; its raw
+    partial row is recomputed by a thin XLA contraction over the last p+1
+    planes (2% of the grid) with the slab-partial x row ``thin_x`` and the
+    masked global 1D matrices K1m/M1m."""
+
+    axis_name: str = static_field()
+    n_shards: int = static_field()
+    local: object = None  # PallasLaplaceOperator slab (xmask="vector")
+    thin_kx: jnp.ndarray = None  # [p+1] last row of the slab-partial K
+    thin_mx: jnp.ndarray = None
+    K1m: jnp.ndarray = None  # [N, N] mask-folded global 1D stiffness (y/z)
+    M1m: jnp.ndarray = None
+
+    @property
+    def inv_diag(self):
+        return self.local.inv_diag
+
+    @property
+    def mask(self):
+        return self.local.mask
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        loc = self.local
+        p = loc.degree
+        u = u.reshape(loc.grid_shape)
+        raw = loc._run("apply", u)  # [N0-1, N1-1, Z] raw partial (x) tiles
+
+        # thin completion of the slab's last x-plane (raw partial row)
+        win = u[-(p + 1):] * loc.mask1[0][-(p + 1):].reshape(-1, 1, 1)
+        win = win * loc.mask1[1].reshape(1, -1, 1)
+        win = win * loc.mask1[2].reshape(1, 1, -1)
+        hi = jax.lax.Precision.HIGHEST
+
+        def ctr(t, W, ax):
+            return jnp.moveaxis(
+                jnp.tensordot(t, W, axes=((ax,), (1,)), precision=hi), -1, ax
+            )
+
+        b = ctr(win, self.M1m, 2)
+        a = ctr(win, self.K1m, 2)
+        mb = ctr(b, self.M1m, 1)
+        kb = ctr(b, self.K1m, 1)
+        ma = ctr(a, self.M1m, 1)
+        last = jnp.tensordot(self.thin_kx, mb, axes=(0, 0), precision=hi)
+        last = last + jnp.tensordot(
+            self.thin_mx, kb + ma, axes=(0, 0), precision=hi
+        )
+
+        N1 = loc.grid_shape[1]
+        Z = loc.n[2] * p
+        au = jnp.concatenate([raw, last[None, : N1 - 1, :Z]], axis=0)
+        au = jnp.pad(au, ((0, 0), (0, 1), (0, 1)))
+        au = halo_sum(au, self.axis_name, self.n_shards)
+        m = loc.mask
+        return m * au + (1.0 - m) * u
+
+    vmult = apply
+
+
+@pytree_dataclass
 class GatherTransfer:
     """Boundary transfer between a slab-SHARDED fine level and a REPLICATED
     coarse level.

@@ -79,6 +79,93 @@ class Chebyshev:
         return x
 
 
+@pytree_dataclass
+class FusedChebyshev:
+    """Chebyshev smoother with the recurrence fused into the Pallas kernel.
+
+    Mathematically identical to :class:`Chebyshev` restricted to the free
+    DoFs: state lives TRIMMED (the global last planes dropped) and
+    constrained entries are identically zero — valid inside the production
+    solver, where every residual entering a smoother is masked (CG/V-cycle
+    never produce nonzero constrained residuals).  Each recurrence step is
+    ONE kernel launch computing r' = r - M A M d, d' = c0 d + c1 r'/diag,
+    x' = x + d' with the elementwise updates riding the operator kernel's
+    DMA streams (3 reads + 3 writes vs 9+ HBM passes unfused).
+
+    ``op`` is the exact (banded) operator used for the residual half-step in
+    :meth:`smooth`; ``op_smooth`` is the bf16 MXU-core operator driving the
+    recurrence (convergence-count preservation: tests/test_pallas_smoother).
+    """
+
+    degree: int = static_field()
+    op: object = None
+    op_smooth: object = None
+    theta: jnp.ndarray = None
+    delta: jnp.ndarray = None
+
+    @property
+    def inv_diag(self):
+        return self.op.inv_diag
+
+    def _steps(self, r, d, x):
+        sigma1 = self.theta / self.delta
+        rho = 1.0 / sigma1
+        for _ in range(1, self.degree):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            scal = jnp.stack(
+                [rho_new * rho, 2.0 * rho_new / self.delta]
+            ).astype(jnp.float32)
+            r, d, x = self.op_smooth._run("cheb", d, (r, x), scal)
+            rho = rho_new
+        return x
+
+    def _trim(self, b):
+        g = self.op.grid_shape
+        p = self.op.degree
+        Z = self.op.n[2] * p
+        return b.reshape(g)[: g[0] - 1, : g[1] - 1, :Z]
+
+    def _diag_trimmed(self):
+        op = self.op
+        dK, dM = op.dK1, op.dM1
+        g = op.grid_shape
+        x = lambda v, d: v[: g[d] - 1].reshape(
+            [-1 if a == d else 1 for a in range(3)]
+        )
+        return x(dK[0], 0) * x(dM[1], 1) * x(dM[2], 2) + x(dM[0], 0) * (
+            x(dK[1], 1) * x(dM[2], 2) + x(dM[1], 1) * x(dK[2], 2)
+        )
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Preconditioner vmult with x0 = 0 on a MASKED input (constrained
+        entries of b must be zero; the output's are zero)."""
+        bt = self._trim(b)
+        d0 = bt / (self.theta * self._diag_trimmed())
+        x = self._steps(bt, d0, d0)
+        return jnp.pad(x, ((0, 1), (0, 1), (0, 1)))
+
+    def smooth(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+        """u + Cheb(rhs - A u), the V-cycle smoothing step, with the
+        residual fused into the exact-core kernel."""
+        u = u.reshape(self.op.grid_shape)
+        scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
+        r0, d0 = self.op._run(
+            "residual", u, (rhs.reshape(self.op.grid_shape),), scal
+        )
+        x = self._steps(r0, d0, d0)
+        return u + jnp.pad(x, ((0, 1), (0, 1), (0, 1)))
+
+    def residual(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+        """rhs - A u on the free DoFs (constrained entries read rhs, which
+        is zero under the solver invariant) — one fused kernel pass."""
+        u = u.reshape(self.op.grid_shape)
+        scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
+        r0, _ = self.op._run(
+            "residual", u, (rhs.reshape(self.op.grid_shape),), scal
+        )
+        return jnp.pad(r0, ((0, 1), (0, 1), (0, 1)))
+
+
 def _pseudo_random_grid(shape, dtype) -> np.ndarray:
     rng = np.random.default_rng(42)
     return rng.uniform(-0.5, 0.5, size=shape).astype(np.float64)
@@ -189,6 +276,7 @@ def make_chebyshev(
     eig_cg_n_iterations: int = 10,
     inv_diag: jnp.ndarray | None = None,
     free_mask: jnp.ndarray | None = None,
+    fused_smoother_op=None,
 ) -> Chebyshev:
     """Set up the smoother for a level operator (host-side; runs eig-CG on device).
 
@@ -235,10 +323,17 @@ def make_chebyshev(
     n_iter = max(1, min(int(eig_cg_n_iterations), int(np.prod(shape))))
     min_eig, max_eig = estimate_eigenvalues(op, inv_diag, n_iter, v0_dev)
     alpha, beta, deg = chebyshev_bounds(min_eig, max_eig, smoothing_range, degree)
+    theta = jnp.asarray((beta + alpha) / 2.0, dtype)
+    delta = jnp.asarray((beta - alpha) / 2.0, dtype)
+    if fused_smoother_op is not None:
+        return FusedChebyshev(
+            degree=deg, op=op, op_smooth=fused_smoother_op,
+            theta=theta, delta=delta,
+        )
     return Chebyshev(
         degree=deg,
         op=op,
         inv_diag=inv_diag,
-        theta=jnp.asarray((beta + alpha) / 2.0, dtype),
-        delta=jnp.asarray((beta - alpha) / 2.0, dtype),
+        theta=theta,
+        delta=delta,
     )

@@ -44,6 +44,9 @@ class VCycle:
 
     def _smooth(self, level: int, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         lvl = self.levels[level]
+        if hasattr(lvl.smoother, "smooth"):
+            # fused path: residual + Chebyshev recurrence inside the kernels
+            return lvl.smoother.smooth(u, rhs)
         r = rhs - lvl.op.apply(u)
         return u + lvl.smoother.apply(r)
 
@@ -58,7 +61,10 @@ class VCycle:
         u = lvl.smoother.apply(src)
         for _ in range(self.pre_smoothing_steps - 1):
             u = self._smooth(level, u, src)
-        residual = src - lvl.op.apply(u)
+        if hasattr(lvl.smoother, "residual"):
+            residual = lvl.smoother.residual(u, src)
+        else:
+            residual = src - lvl.op.apply(u)
         coarse_residual = lvl.transfer.restrict(residual)
         coarse_correction = self._cycle(level - 1, coarse_residual)
         u = lvl.transfer.prolongate_and_add(u, coarse_correction)

@@ -55,6 +55,69 @@ def test_mxu_smoother_preserves_convergence_counts(core):
     )
 
 
+def test_fused_chebyshev_matches_plain():
+    """FusedChebyshev (kernel-fused recurrence on trimmed state) equals the
+    plain Chebyshev smoother on masked inputs to f32 roundoff."""
+    from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+    from portable_multigrid_tpu.fem.space import FESpace
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    sp = FESpace(HyperCubeMesh(3, 3), 4)
+    op = make_pallas_laplace(
+        sp, jnp.float32, bx=4, by=4, interpret=True, core="banded"
+    )
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    plain = Chebyshev(degree=5, op=op, inv_diag=None, theta=theta, delta=delta)
+    fused = FusedChebyshev(
+        degree=5, op=op, op_smooth=op, theta=theta, delta=delta
+    )
+    rng = np.random.default_rng(0)
+    m = np.asarray(op.mask)
+    b = jnp.asarray(rng.standard_normal(sp.grid_shape) * m, jnp.float32)
+    u = jnp.asarray(rng.standard_normal(sp.grid_shape) * m, jnp.float32)
+    za, zb = np.asarray(plain.apply(b)), np.asarray(fused.apply(b))
+    assert np.abs(za - zb).max() <= 5e-6 * np.abs(za).max()
+    sa = np.asarray(u + plain.apply(b - op.apply(u)))
+    sb = np.asarray(fused.smooth(u, b))
+    assert np.abs(sa - sb).max() <= 5e-6 * np.abs(sa).max()
+    ra = np.asarray((b - op.apply(u)) * op.mask)
+    rb = np.asarray(fused.residual(u, b))
+    assert np.abs(ra - rb).max() <= 5e-6 * np.abs(ra).max()
+
+
+def test_fused_vcycle_preserves_convergence_counts():
+    """The production configuration: exact banded residuals + fully fused
+    bf16 MXU Chebyshev recurrence — CG history unchanged."""
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    dim, p, r = 3, 4, 2
+    base = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    _, st_base = base.solve()
+
+    prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    exact = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="banded"
+    )
+    mxu = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="mxu"
+    )
+    lv = list(prob.levels)
+    l = lv[-1]
+    sm = FusedChebyshev(
+        degree=l.smoother.degree, op=exact, op_smooth=mxu,
+        theta=l.smoother.theta, delta=l.smoother.delta,
+    )
+    lv[-1] = MGLevel(op=exact, smoother=sm, transfer=l.transfer)
+    prob.levels = tuple(lv)
+    _, st = prob.solve()
+    assert st.converged
+    assert st.iterations == st_base.iterations
+    assert st.solution_l2_norm == pytest.approx(
+        st_base.solution_l2_norm, rel=1e-9
+    )
+
+
 def test_mxu3_core_is_f32_faithful():
     """hi/lo-split MXU core matches the exact operator to ~1e-6 relative."""
     from portable_multigrid_tpu.fem.mesh import HyperCubeMesh

@@ -200,6 +200,66 @@ def test_2d_device_mesh_2x2():
     assert st.solution_l2_norm == pytest.approx(0.0412615, rel=1e-4)
 
 
+def test_sharded_pallas_apply_matches_single_device():
+    """The fused Pallas kernel inside shard_map (interpret mode): raw
+    partial boundary planes + halo_sum reproduce the single-device operator
+    — the reference's one-hot-kernel-for-serial-and-MPI property
+    (include/operators/portable_laplace_operator.h:557-719)."""
+    from portable_multigrid_tpu.parallel.poisson import _build_stacked_pallas
+
+    dim, p, r, n_dev = 3, 4, 3, 4
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    op = make_laplace(sp, jnp.float32)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(sp.grid_shape).astype(np.float32)
+    want = np.asarray(op.apply(u))
+
+    sop_st = _build_stacked_pallas(sp, n_dev, jnp.float32, interpret=True)
+    assert sop_st is not None
+    u_st = jnp.asarray(
+        partition_axis0(u, sp.mesh.cells_per_axis, p, n_dev), jnp.float32
+    )
+
+    def f(sop_stacked, u_stacked):
+        return _unstack(sop_stacked).apply(u_stacked[0])[None]
+
+    got_st = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=_mesh(n_dev),
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )(sop_st, u_st)
+    got = unpartition_axis0(np.asarray(got_st), sp.mesh.cells_per_axis, p, n_dev)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
+    for s in range(n_dev - 1):
+        np.testing.assert_allclose(
+            np.asarray(got_st)[s][-1], np.asarray(got_st)[s + 1][0],
+            atol=1e-6 * np.abs(want).max(),
+        )
+
+
+def test_sharded_pallas_solve_matches_single_device():
+    """Full sharded h-MG solve with the pallas variant on eligible levels."""
+    sharded = ShardedGeometricPoisson(
+        3, 4, 3, devices=jax.devices()[:4], dtype=jnp.float32,
+        variant="pallas", pallas_interpret=True,
+    )
+    x_s, st_s = sharded.solve(rtol=1e-5)
+    single = GeometricMultigridPoisson(3, 4, 3, dtype=jnp.float64)
+    x_1, st_1 = single.solve(rtol=1e-5)
+    assert st_s.converged
+    assert st_s.iterations == st_1.iterations
+    scale = np.abs(np.asarray(x_1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_s, dtype=np.float64).reshape(-1),
+        np.asarray(x_1).reshape(-1),
+        atol=2e-5 * scale,
+    )
+
+
 def test_sharded_eigenvalue_setup_matches_twin():
     """Fully-sharded setup (eig CG inside shard_map) gives the same solve as
     the single-device-twin setup — no chip needs to hold the global level."""
