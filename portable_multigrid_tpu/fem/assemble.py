@@ -271,6 +271,59 @@ def l2_norm(space: FESpace, u_grid: np.ndarray, n_q: int | None = None) -> float
     return float(np.sqrt(np.sum(t * t * wtot) * space.mesh.h**space.dim))
 
 
+def _tensor_basis_values(degree: int, qp: np.ndarray, dim: int) -> np.ndarray:
+    """Q_degree tensor basis values at tensor points: [nq^dim, (p+1)^dim]."""
+    from .basis import lagrange_eval, make_basis
+
+    B1 = lagrange_eval(make_basis(degree).nodes, qp)
+    B = np.array([[1.0]])
+    for _ in range(dim):
+        B = np.kron(B, B1)
+    return B
+
+
+def assemble_rhs_indexed(
+    geometry, l2g: np.ndarray, degree: int, n_dofs: int, mask: np.ndarray, f
+) -> np.ndarray:
+    """RHS on general/curved geometry: rhs_i = ∫ phi_i f |J| dxi, masked.
+
+    ``geometry`` is any object with geometry_tables/physical_quad_points
+    (GeneralMesh or CurvedGeometry)."""
+    from .basis import gauss_points
+
+    dim = geometry.dim
+    nq = degree + 1
+    qp, _ = gauss_points(nq)
+    B = _tensor_basis_values(degree, qp, dim)  # [Q, ndof]
+    _, jxw = geometry.geometry_tables(nq)
+    xq = geometry.physical_quad_points(nq)  # [E, Q, dim]
+    fv = np.asarray(f(*[xq[..., k] for k in range(dim)]), np.float64)
+    re = np.einsum("eq,ql->el", fv * jxw, B)
+    rhs = np.zeros(n_dofs)
+    np.add.at(rhs, l2g.reshape(-1), re.reshape(-1))
+    return rhs * mask
+
+
+def l2_error_indexed(
+    geometry, l2g: np.ndarray, degree: int, u: np.ndarray, u_exact,
+    n_q: int | None = None,
+) -> float:
+    """||u_h - u_exact||_L2 on general/curved geometry."""
+    from .basis import gauss_points
+
+    dim = geometry.dim
+    nq = n_q if n_q is not None else degree + 2
+    qp, _ = gauss_points(nq)
+    B = _tensor_basis_values(degree, qp, dim)
+    _, jxw = geometry.geometry_tables(nq)
+    xq = geometry.physical_quad_points(nq)
+    uh = np.asarray(u, np.float64).reshape(-1)[l2g] @ B.T  # [E, Q]
+    diff = uh - np.asarray(
+        u_exact(*[xq[..., k] for k in range(dim)]), np.float64
+    )
+    return float(np.sqrt(np.sum(diff * diff * jxw)))
+
+
 def l2_error(
     space: FESpace, u_grid: np.ndarray, u_exact, n_q: int | None = None
 ) -> float:

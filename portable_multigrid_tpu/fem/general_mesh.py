@@ -92,6 +92,112 @@ class GeneralMesh:
         jxw = detJ * wq[None, :]
         return Jinv, jxw
 
+    def physical_quad_points(self, n_q_1d: int) -> np.ndarray:
+        """Physical coordinates of all tensor quadrature points [E, Q, dim]."""
+        qp, _ = gauss_points(n_q_1d)
+        N, _ = _tensor_shape_tables(np.array([0.0, 1.0]), qp, self.dim)
+        return np.einsum("evd,vq->eqd", self.cell_vertices(), N)
+
+
+def _tensor_shape_tables(nodes: np.ndarray, qp: np.ndarray, dim: int):
+    """Tensor Lagrange shape values/gradients at tensor quadrature points.
+
+    Returns (N [nn, Q], dN [dim, nn, Q]) with lexicographic node ordering
+    (axis 0 slowest), nn = len(nodes)^dim, Q = len(qp)^dim."""
+    from .basis import lagrange_deriv, lagrange_eval
+
+    V = lagrange_eval(nodes, qp)  # [nq, m]
+    D = lagrange_deriv(nodes, qp)
+    m = len(nodes)
+    nq = len(qp)
+    nn, Q = m**dim, nq**dim
+    N = np.ones((nn, Q))
+    dN = np.ones((dim, nn, Q))
+    for axis in range(dim):
+        vdig = (np.arange(nn) // (m ** (dim - 1 - axis))) % m
+        qidx = (np.arange(Q) // (nq ** (dim - 1 - axis))) % nq
+        N *= V[qidx][:, vdig].T
+        for k in range(dim):
+            dN[k] *= (D if k == axis else V)[qidx][:, vdig].T
+    return N, dN
+
+
+@dataclasses.dataclass(frozen=True)
+class CurvedGeometry:
+    """Higher-order (Q_q Lagrange) cell geometry — the MappingQ(q) analog.
+
+    The reference constructs MappingQ(fe_degree) (reference:
+    include/operators/portable_laplace_operator.h:469-482); on its affine
+    benchmark meshes this coincides with Q1, but the data model supports
+    genuinely curved cells.  Here each cell carries (q+1)^dim mapping control
+    points (values of the geometry at tensor Gauss-Lobatto nodes), and
+    Jacobian/JxW tables are evaluated from the Q_q interpolant — exactly
+    isoparametric when q == fe_degree.
+    """
+
+    cell_points: np.ndarray  # [E, (q+1)^dim, dim], lexicographic nodes
+    mapping_degree: int
+
+    @property
+    def dim(self) -> int:
+        return self.cell_points.shape[2]
+
+    @property
+    def n_cells(self) -> int:
+        return self.cell_points.shape[0]
+
+    def _nodes(self) -> np.ndarray:
+        from .basis import gauss_lobatto_points
+
+        return gauss_lobatto_points(self.mapping_degree + 1)
+
+    def geometry_tables(self, n_q_1d: int) -> tuple[np.ndarray, np.ndarray]:
+        """(inv_jac [E, Q, dim, dim], jxw [E, Q]) — same contract as
+        :meth:`GeneralMesh.geometry_tables`, for the Q_q mapping."""
+        dim = self.dim
+        qp, qw = gauss_points(n_q_1d)
+        _, dN = _tensor_shape_tables(self._nodes(), qp, dim)
+        J = np.einsum("evd,kvq->eqdk", self.cell_points, dN)
+        detJ = np.linalg.det(J)
+        if np.any(detJ <= 0):
+            raise ValueError("mapping contains inverted or degenerate cells")
+        Jinv = np.linalg.inv(J)
+        wq = np.array([1.0])
+        for _ in range(dim):
+            wq = np.kron(wq, qw)
+        return Jinv, detJ * wq[None, :]
+
+    def physical_quad_points(self, n_q_1d: int) -> np.ndarray:
+        """Physical coordinates of all tensor quadrature points [E, Q, dim]."""
+        qp, _ = gauss_points(n_q_1d)
+        N, _ = _tensor_shape_tables(self._nodes(), qp, self.dim)
+        return np.einsum("evd,vq->eqd", self.cell_points, N)
+
+
+def curved_structured_geometry(
+    dim: int, n: int, transform, mapping_degree: int
+) -> CurvedGeometry:
+    """CurvedGeometry for Φ([0,1]^dim) on an n^dim structured cell lattice.
+
+    ``transform(*ref_coords) -> phys_coords`` is the smooth geometry (the
+    manifold description MappingQ would pull node locations from); control
+    points are its values at each cell's tensor Gauss-Lobatto nodes."""
+    from .basis import gauss_lobatto_points
+
+    q = mapping_degree
+    nodes = gauss_lobatto_points(q + 1)
+    nn = (q + 1) ** dim
+    E = n**dim
+    pts = np.zeros((E, nn, dim))
+    for e in range(E):
+        cidx = np.unravel_index(e, (n,) * dim)
+        axes = [(cidx[k] + nodes) / n for k in range(dim)]
+        grids = np.meshgrid(*axes, indexing="ij")
+        ref = [g.reshape(-1) for g in grids]
+        out = transform(*ref)
+        pts[e] = np.stack([np.asarray(o, np.float64) for o in out], axis=-1)
+    return CurvedGeometry(cell_points=pts, mapping_degree=q)
+
 
 def structured_as_general(mesh) -> GeneralMesh:
     """Convert a HyperCubeMesh to a GeneralMesh (for cross-validation)."""
@@ -117,6 +223,69 @@ def structured_as_general(mesh) -> GeneralMesh:
             verts.append(vid(idx))
         cells.append(verts)
     return GeneralMesh(vertices=vertices, cells=np.asarray(cells))
+
+
+def refine_general_mesh(gm: GeneralMesh) -> GeneralMesh:
+    """Uniform isotropic refinement: every cell splits into 2^dim children.
+
+    Children are ordered parent-major with the child index lexicographic in
+    the parent's reference axes (axis 0 slowest) — the ordering the
+    unstructured transfer (ops/indexed.py:IndexedTransfer) relies on.  New
+    vertices are Q1 (multilinear) sub-entity midpoints, deduplicated
+    TOPOLOGICALLY by the set of parent corner ids they average — midpoint
+    refinement of a multilinear map restricted to a sub-box is again
+    multilinear, so the refined geometry is exactly nested and the standard
+    h-embedding matrices apply (the unstructured analog of the reference's
+    create_geometric_coarsening_sequence,
+    source/geometric_multigrid/program.cc:137-147).
+    """
+    dim = gm.dim
+    nv = 2**dim
+    points: list[np.ndarray] = []
+    key2id: dict[tuple, int] = {}
+
+    def pid(key, coord):
+        if key not in key2id:
+            key2id[key] = len(points)
+            points.append(coord)
+        return key2id[key]
+
+    new_cells = []
+    for e in range(gm.n_cells):
+        corners = gm.cells[e]
+        xv = gm.vertices[corners]  # [nv, dim]
+
+        def lattice(g):
+            """Refined-lattice point at local coords g in {0,1,2}^dim."""
+            ids = []
+            coord = np.zeros(dim)
+            for v in range(nv):
+                w = 1.0
+                for k in range(dim):
+                    bit = (v >> (dim - 1 - k)) & 1
+                    gk = g[k]
+                    wk = (
+                        0.5 if gk == 1 else (1.0 if (gk == 2) == bool(bit)
+                                             else 0.0)
+                    )
+                    w *= wk
+                if w > 0:
+                    ids.append(int(corners[v]))
+                    coord = coord + w * xv[v]
+            return pid(tuple(sorted(ids)), coord)
+
+        for c in range(nv):
+            cbits = [(c >> (dim - 1 - k)) & 1 for k in range(dim)]
+            verts = []
+            for v in range(nv):
+                vbits = [(v >> (dim - 1 - k)) & 1 for k in range(dim)]
+                verts.append(
+                    lattice(tuple(cbits[k] + vbits[k] for k in range(dim)))
+                )
+            new_cells.append(verts)
+    return GeneralMesh(
+        vertices=np.asarray(points), cells=np.asarray(new_cells)
+    )
 
 
 def perturbed_cube_mesh(

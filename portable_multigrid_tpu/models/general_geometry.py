@@ -69,6 +69,100 @@ def coarsen_vertex_grid(gmesh: GeneralMesh, dim: int, n_fine: int) -> GeneralMes
     return GeneralMesh(vertices=coarse_verts, cells=topo.cells)
 
 
+class UnstructuredMultigrid:
+    """h-multigrid Poisson on a FULLY unstructured hex/quad mesh hierarchy.
+
+    Closes the gap between the unstructured operator path (native
+    orientation-matched DoF enumeration + indexed kernels) and multigrid:
+    the hierarchy comes from uniform refinement of an arbitrary coarse mesh
+    (fem/general_mesh.py:refine_general_mesh — nested multilinear geometry),
+    and transfers are per-cell embedding contractions
+    (ops/indexed.py:IndexedTransfer).  The unstructured analog of the
+    reference's geometric driver (source/geometric_multigrid/program.cc),
+    which deal.II would support on such meshes through the same machinery.
+    """
+
+    def __init__(
+        self,
+        gmesh_coarse: GeneralMesh,
+        degree: int,
+        n_refinements: int,
+        dtype=jnp.float64,
+    ):
+        from ..fem.general_mesh import refine_general_mesh
+        from ..native import enumerate_dofs
+        from ..ops.indexed import (
+            make_unstructured_h_transfer,
+            make_unstructured_laplace,
+        )
+
+        self.dtype = dtype
+        self.degree = degree
+        meshes = [gmesh_coarse]
+        for _ in range(n_refinements):
+            meshes.append(refine_general_mesh(meshes[-1]))
+        self.meshes = meshes
+        self.dof_packs = [enumerate_dofs(m, degree) for m in meshes]
+
+        levels = []
+        for i, (gm, pack) in enumerate(zip(meshes, self.dof_packs)):
+            op = make_unstructured_laplace(gm, degree, dtype, dofs=pack)
+            if i == 0:
+                sm = make_chebyshev(
+                    op, smoothing_range=1e-3, degree=None,
+                    eig_cg_n_iterations=pack[0], free_mask=pack[2],
+                )
+            else:
+                sm = make_chebyshev(
+                    op, smoothing_range=15.0, degree=5,
+                    eig_cg_n_iterations=10, free_mask=pack[2],
+                )
+            tr = (
+                make_unstructured_h_transfer(
+                    meshes[i - 1], degree,
+                    self.dof_packs[i - 1], pack, dtype,
+                )
+                if i
+                else None
+            )
+            levels.append(MGLevel(op=op, smoother=sm, transfer=tr))
+        self.levels = tuple(levels)
+
+    def solve(self, f=None, rtol: float = 1e-12, verbose: bool = False):
+        """Solve -Δu = f (f ≡ 1 when None, like the reference driver)."""
+        from ..fem.assemble import assemble_rhs_indexed
+
+        gm = self.meshes[-1]
+        n_dofs, l2g, mask = self.dof_packs[-1]
+        if f is None:
+            f = lambda *c: np.ones_like(c[0])  # noqa: E731
+        rhs = assemble_rhs_indexed(gm, l2g, self.degree, n_dofs, mask, f)
+        rhs = jnp.asarray(rhs, self.dtype)
+
+        @jax.jit
+        def run(fine_op, mg, b):
+            return cg(fine_op.apply, b, mg.apply, rtol=rtol)
+
+        mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+                    levels=self.levels)
+        res = run(self.levels[-1].op, mg, rhs)
+        stats = SolveStats(
+            iterations=int(res.iterations),
+            residual_norm=float(res.residual_norm),
+            converged=bool(res.converged),
+            solution_l2_norm=float(np.linalg.norm(np.asarray(res.x))),
+            n_dofs=n_dofs,
+            dofs_per_level=[p[0] for p in self.dof_packs],
+        )
+        if verbose:
+            print(
+                f" {stats.n_dofs} unstructured DoFs (by level: "
+                f"{', '.join(str(d) for d in stats.dofs_per_level)})"
+            )
+            print(f"  Solver converged in {stats.iterations} iterations.")
+        return res.x, stats
+
+
 class GeneralGeometryMultigrid:
     """h-multigrid Poisson on a deformed (structured-topology) mesh."""
 

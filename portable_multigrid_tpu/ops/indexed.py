@@ -139,18 +139,21 @@ def make_indexed_laplace(
 
 
 def make_unstructured_laplace(
-    gmesh: GeneralMesh, degree: int, dtype=jnp.float64
+    gmesh: GeneralMesh, degree: int, dtype=jnp.float64, dofs=None
 ) -> IndexedLaplaceOperator:
     """Fully unstructured path: DoF topology from the native enumerator
     (edge/face orientation matching), geometry from the Q1 mapping.
 
     Homogeneous Dirichlet on the whole mesh boundary (faces shared by a
     single cell), matching the reference drivers' boundary_id 0.
+    ``dofs`` optionally passes a precomputed (n_dofs, l2g, mask) pack.
     """
     from ..fem.basis import make_basis
     from ..native import enumerate_dofs
 
-    n_dofs, l2g, mask = enumerate_dofs(gmesh, degree)
+    n_dofs, l2g, mask = dofs if dofs is not None else enumerate_dofs(
+        gmesh, degree
+    )
     b = make_basis(degree)
     metric = _metric_tables(gmesh, degree)
     diag = _indexed_diagonal(metric, l2g, degree, gmesh.dim, n_dofs)
@@ -165,6 +168,104 @@ def make_unstructured_laplace(
         Dco=jnp.asarray(b.Dco, dtype),
         mask=jnp.asarray(mask, dtype),
         inv_diag=jnp.asarray(1.0 / diag, dtype),
+    )
+
+
+@pytree_dataclass
+class IndexedTransfer:
+    """Two-level h-transfer on unstructured meshes via per-cell embeddings.
+
+    The unstructured analog of ops/transfer.py:Transfer, mirroring the
+    reference's GeometricTransfer data model (per-cell coarse/fine DoF index
+    tables + the 1D embedding matrix + 1/valence weights; reference:
+    include/multigrid/portable_geometric_transfer.h:33-86,1329-1487) —
+    except the per-child tensor embedding is applied as one batched einsum
+    and the scatter is XLA's deterministic scatter-add.
+
+    prolongate:  gather coarse cell DoFs (masked) -> per-child embedding
+                 matmul -> scatter-add to fine -> 1/valence * fine-mask.
+    restrict:    the exact transpose (weights first).
+    """
+
+    n_c: int = static_field()
+    n_f: int = static_field()
+    l2g_c: jnp.ndarray = None  # [Ec, ndof] int32
+    l2g_f: jnp.ndarray = None  # [Ec, 2^dim, ndof] int32 (children by parent)
+    Mch: jnp.ndarray = None  # [2^dim, ndof_f, ndof_c] child embeddings
+    w_f: jnp.ndarray = None  # [n_f] 1/valence * fine mask
+    mask_c: jnp.ndarray = None  # [n_c]
+
+    def prolongate(self, c: jnp.ndarray) -> jnp.ndarray:
+        c = c.reshape(self.n_c) * self.mask_c
+        cc = c[self.l2g_c]  # [Ec, ndof]
+        fe = jnp.einsum("kfl,el->ekf", self.Mch, cc)
+        out = jnp.zeros(self.n_f, c.dtype).at[self.l2g_f.reshape(-1)].add(
+            fe.reshape(-1)
+        )
+        return out * self.w_f
+
+    def prolongate_and_add(self, dst, c):
+        return dst + self.prolongate(c)
+
+    def restrict(self, f: jnp.ndarray) -> jnp.ndarray:
+        fw = f.reshape(self.n_f) * self.w_f
+        fe = fw[self.l2g_f]  # [Ec, 2^dim, ndof]
+        ce = jnp.einsum("kfl,ekf->el", self.Mch, fe)
+        out = jnp.zeros(self.n_c, f.dtype).at[self.l2g_c.reshape(-1)].add(
+            ce.reshape(-1)
+        )
+        return out * self.mask_c
+
+    def restrict_and_add(self, dst, f):
+        return dst + self.restrict(f)
+
+
+def make_unstructured_h_transfer(
+    gmesh_c: GeneralMesh,
+    degree: int,
+    coarse_dofs: tuple,
+    fine_dofs: tuple,
+    dtype=jnp.float64,
+) -> IndexedTransfer:
+    """Transfer between an unstructured mesh and its refine_general_mesh
+    child (children parent-major, child index lexicographic).
+
+    ``coarse_dofs``/``fine_dofs`` are (n_dofs, l2g, mask) as returned by the
+    native enumerator for the two levels."""
+    from ..fem.basis import h_prolongation_matrix_1d
+
+    dim = gmesh_c.dim
+    p = degree
+    n_c, l2g_c, mask_c = coarse_dofs
+    n_f, l2g_f, mask_f = fine_dofs
+    Ec = gmesh_c.n_cells
+    if l2g_f.shape[0] != Ec * 2**dim:
+        raise ValueError("fine mesh is not the refinement of the coarse mesh")
+
+    M1 = h_prolongation_matrix_1d(p)  # [2p+1, p+1]
+    halves = (M1[: p + 1], M1[p:])  # child 0 / child 1 along one axis
+    Mch = []
+    for c in range(2**dim):
+        M = np.array([[1.0]])
+        for k in range(dim):
+            M = np.kron(M, halves[(c >> (dim - 1 - k)) & 1])
+        Mch.append(M)
+    Mch = np.stack(Mch)  # [2^dim, ndof, ndof]
+
+    # each fine DoF appears once per fine cell containing it == its valence
+    counts = np.zeros(n_f)
+    np.add.at(counts, l2g_f.reshape(-1), 1.0)
+    w = mask_f / np.maximum(counts, 1.0)
+    return IndexedTransfer(
+        n_c=int(n_c),
+        n_f=int(n_f),
+        l2g_c=jnp.asarray(l2g_c, jnp.int32),
+        l2g_f=jnp.asarray(
+            l2g_f.reshape(Ec, 2**dim, -1), jnp.int32
+        ),
+        Mch=jnp.asarray(Mch, dtype),
+        w_f=jnp.asarray(w, dtype),
+        mask_c=jnp.asarray(mask_c, dtype),
     )
 
 

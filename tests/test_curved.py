@@ -1,0 +1,139 @@
+"""Curved (higher-order mapping) geometry: the MappingQ(p) analog.
+
+The reference constructs MappingQ(fe_degree)
+(include/operators/portable_laplace_operator.h:469-482) though its drivers
+only exercise affine meshes.  Here a genuinely curved annulus patch
+validates the Q_q mapping tables:
+
+  * quadrature area == analytic annulus-sector area;
+  * the indexed operator matches a dense assembly on the same geometry;
+  * Poisson L2 error converges at the ISOPARAMETRIC rate h^(p+1) with
+    mapping degree p, while a Q1 (bilinear) mapping of the same domain
+    stalls at ~h^2 — showing the higher-order mapping is load-bearing.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from portable_multigrid_tpu.fem.assemble import (
+    assemble_rhs_indexed,
+    l2_error_indexed,
+)
+from portable_multigrid_tpu.fem.general_mesh import (
+    GeneralMesh,
+    curved_structured_geometry,
+)
+from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+from portable_multigrid_tpu.fem.space import FESpace
+from portable_multigrid_tpu.ops.indexed import (
+    dense_indexed_operator,
+    make_indexed_laplace,
+)
+from portable_multigrid_tpu.solvers.cg import cg
+
+R0, R1, TH = 1.0, 2.0, np.pi / 2
+
+
+def _annulus(s, t):
+    r = R0 + s * (R1 - R0)
+    th = t * TH
+    return r * np.cos(th), r * np.sin(th)
+
+
+def _u_exact(x, y):
+    r = np.hypot(x, y)
+    th = np.arctan2(y, x)
+    return np.sin(np.pi * (r - R0) / (R1 - R0)) * np.sin(np.pi * th / TH)
+
+
+def _f(x, y):
+    """-Δu for u = sin(pi (r-r0)/dr) sin(pi th/TH) in polar coordinates."""
+    r = np.hypot(x, y)
+    th = np.arctan2(y, x)
+    dr = R1 - R0
+    Rr = np.sin(np.pi * (r - R0) / dr)
+    dR = (np.pi / dr) * np.cos(np.pi * (r - R0) / dr)
+    T = np.sin(np.pi * th / TH)
+    return ((np.pi / dr) ** 2 * Rr - dR / r + (np.pi / TH) ** 2 * Rr / r**2) * T
+
+
+def test_curved_quadrature_area():
+    geo = curved_structured_geometry(2, 4, _annulus, mapping_degree=4)
+    _, jxw = geo.geometry_tables(6)
+    area = float(jxw.sum())
+    exact = 0.5 * TH * (R1**2 - R0**2)
+    assert area == pytest.approx(exact, rel=1e-10)
+
+
+def test_curved_operator_matches_dense():
+    p, n = 3, 2
+    space = FESpace(HyperCubeMesh(2, 1), p)  # n = 2 cells/axis topology
+    geo = curved_structured_geometry(2, n, _annulus, mapping_degree=p)
+    op = make_indexed_laplace(space, geo)
+    A = dense_indexed_operator(space, geo)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(space.n_dofs)
+    got = np.asarray(op.apply(jnp.asarray(u))).reshape(-1)
+    want = A @ u
+    np.testing.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+    # symmetry through the dense twin
+    np.testing.assert_allclose(A, A.T, atol=1e-12)
+
+
+def _solve_curved(p, refinements, mapping_degree):
+    space = FESpace(HyperCubeMesh(2, refinements), p)
+    n = space.mesh.cells_per_axis
+    geo = curved_structured_geometry(2, n, _annulus, mapping_degree)
+    op = make_indexed_laplace(space, geo)
+    l2g = space.local_to_global()
+    mask = space.free_mask().reshape(-1)
+    rhs = assemble_rhs_indexed(geo, l2g, p, space.n_dofs, mask, _f)
+
+    import jax
+
+    res = jax.jit(
+        lambda b: cg(
+            op.apply, b, lambda r: op.inv_diag * r, rtol=1e-12, max_iter=2000
+        )
+    )(jnp.asarray(rhs))
+    return l2_error_indexed(geo, l2g, p, np.asarray(res.x), _u_exact)
+
+
+@pytest.mark.parametrize("p", [2, 3])
+def test_isoparametric_convergence_rate(p):
+    e0 = _solve_curved(p, 1, mapping_degree=p)
+    e1 = _solve_curved(p, 2, mapping_degree=p)
+    rate = np.log2(e0 / e1)
+    assert rate > p + 0.6, (e0, e1, rate)
+
+
+def test_q1_mapping_caps_the_rate():
+    """With a bilinear mapping of the same curved domain, Q3 elements gain
+    no more than ~second-order accuracy — the higher-order mapping is real."""
+    p = 3
+    e0 = _solve_curved(p, 2, mapping_degree=1)
+    e1 = _solve_curved(p, 3, mapping_degree=1)
+    rate = np.log2(e0 / e1)
+    assert rate < 3.0, (e0, e1, rate)
+
+
+def test_curved_q1_geometry_equals_general_mesh():
+    """CurvedGeometry with mapping_degree=1 reproduces the Q1 GeneralMesh
+    tables exactly (cross-check of the two implementations)."""
+    from portable_multigrid_tpu.fem.general_mesh import perturbed_cube_mesh
+
+    gm = perturbed_cube_mesh(2, 3, amplitude=0.2, seed=1)
+    geo = curved_structured_geometry(
+        2, 1, lambda s, t: (s, t), mapping_degree=1
+    )  # placeholder; rebuilt below from the mesh's own vertices
+    # build control points directly from the mesh vertices (Q1 nodes = corners)
+    from portable_multigrid_tpu.fem.general_mesh import CurvedGeometry
+
+    geo = CurvedGeometry(
+        cell_points=gm.cell_vertices().astype(np.float64), mapping_degree=1
+    )
+    J1, w1 = gm.geometry_tables(4)
+    J2, w2 = geo.geometry_tables(4)
+    np.testing.assert_allclose(J1, J2, atol=1e-13)
+    np.testing.assert_allclose(w1, w2, atol=1e-13)

@@ -1,0 +1,89 @@
+"""Multigrid on FULLY unstructured meshes: refinement, embedding transfers,
+and end-to-end h-MG solves (native orientation-matched DoF enumeration)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from portable_multigrid_tpu.fem.general_mesh import (
+    perturbed_cube_mesh,
+    refine_general_mesh,
+    structured_as_general,
+)
+from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+from portable_multigrid_tpu.models.general_geometry import UnstructuredMultigrid
+from portable_multigrid_tpu.native import enumerate_dofs
+from portable_multigrid_tpu.ops.indexed import (
+    dense_unstructured_operator,
+    make_unstructured_h_transfer,
+)
+
+
+def test_refinement_counts_and_nesting():
+    gm = perturbed_cube_mesh(3, 2, amplitude=0.2, seed=3)
+    fine = refine_general_mesh(gm)
+    assert fine.n_cells == 8 * gm.n_cells
+    # refined structured cube == next structured cube (up to numbering)
+    cube = structured_as_general(HyperCubeMesh(3, 1))
+    ref = refine_general_mesh(cube)
+    want = structured_as_general(HyperCubeMesh(3, 2))
+    assert ref.vertices.shape == want.vertices.shape
+    assert ref.n_cells == want.n_cells
+    # same vertex SET
+    a = {tuple(np.round(v, 12)) for v in ref.vertices}
+    b = {tuple(np.round(v, 12)) for v in want.vertices}
+    assert a == b
+    # coarse vertices survive refinement with identical coordinates
+    for v in gm.vertices:
+        assert tuple(np.round(v, 12)) in {
+            tuple(np.round(w, 12)) for w in fine.vertices
+        }
+
+
+@pytest.mark.parametrize("dim,degree", [(2, 3), (3, 2)])
+def test_unstructured_transfer_properties(dim, degree):
+    gm = perturbed_cube_mesh(dim, 2, amplitude=0.2, seed=5)
+    fine = refine_general_mesh(gm)
+    cpack = enumerate_dofs(gm, degree)
+    fpack = enumerate_dofs(fine, degree)
+    tr = make_unstructured_h_transfer(gm, degree, cpack, fpack)
+
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.standard_normal(cpack[0]))
+    f = jnp.asarray(rng.standard_normal(fpack[0]))
+    # restriction is the EXACT transpose of prolongation
+    lhs = float(jnp.vdot(tr.prolongate(c), f))
+    rhs = float(jnp.vdot(c, tr.restrict(f)))
+    assert lhs == pytest.approx(rhs, rel=1e-13)
+
+    # interpolation exactness: with masks lifted, P reproduces constants
+    ones_packs = (
+        (cpack[0], cpack[1], np.ones(cpack[0])),
+        (fpack[0], fpack[1], np.ones(fpack[0])),
+    )
+    tr1 = make_unstructured_h_transfer(gm, degree, *ones_packs)
+    pc = np.asarray(tr1.prolongate(jnp.ones(cpack[0])))
+    np.testing.assert_allclose(pc, 1.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("dim,degree,refs", [(2, 3, 2), (3, 2, 1)])
+def test_unstructured_mg_solve_matches_dense(dim, degree, refs):
+    gm0 = perturbed_cube_mesh(dim, 2, amplitude=0.15, seed=7)
+    prob = UnstructuredMultigrid(gm0, degree, refs)
+    x, st = prob.solve()
+    assert st.converged
+    assert st.iterations <= 8  # MG quality: O(1) iterations
+
+    # golden: dense solve on the fine mesh
+    from portable_multigrid_tpu.fem.assemble import assemble_rhs_indexed
+
+    gm = prob.meshes[-1]
+    n_dofs, l2g, mask = prob.dof_packs[-1]
+    A = dense_unstructured_operator(gm, degree)
+    rhs = assemble_rhs_indexed(
+        gm, l2g, degree, n_dofs, mask, lambda *c: np.ones_like(c[0])
+    )
+    want = np.linalg.solve(A, rhs)
+    np.testing.assert_allclose(
+        np.asarray(x), want, atol=1e-9 * np.abs(want).max()
+    )
