@@ -106,7 +106,10 @@ def main():
         levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
     mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2, levels=tuple(levels))
     b = jax.random.normal(jax.random.PRNGKey(1), fine.grid_shape, dtype)
-    t_vcycle = measure_op(mg.apply, b, iterations=(1, 3))
+    # (2, 6): a 4-cycle slope — the tunneled attachment's per-call jitter is
+    # the dominant noise source, so average over more cycles
+    vc_iters = (1, 3) if refinements >= 7 else (2, 6)
+    t_vcycle = measure_op(mg.apply, b, iterations=vc_iters)
     vcycle_dofs_per_s = n_dofs / t_vcycle
 
     result = {

@@ -128,6 +128,18 @@ class UnstructuredMultigrid:
             levels.append(MGLevel(op=op, smoother=sm, transfer=tr))
         self.levels = tuple(levels)
 
+    def output_vtu(self, filename: str, u) -> None:
+        """Write the solution on the unstructured fine mesh to a .vtu file
+        (vertex-sampled, the DataOut analog)."""
+        from ..utils.vtu import vertex_values, write_vtu
+
+        gm = self.meshes[-1]
+        _, l2g, _ = self.dof_packs[-1]
+        write_vtu(
+            filename, gm,
+            {"solution": vertex_values(gm, self.degree, l2g, np.asarray(u))},
+        )
+
     def solve(self, f=None, rtol: float = 1e-12, verbose: bool = False):
         """Solve -Δu = f (f ≡ 1 when None, like the reference driver)."""
         from ..fem.assemble import assemble_rhs_indexed
@@ -209,6 +221,18 @@ class GeneralGeometryMultigrid:
             tr = make_h_transfer(self.spaces[i - 1], sp, dtype) if i else None
             levels.append(MGLevel(op=op, smoother=sm, transfer=tr))
         self.levels = tuple(levels)
+
+    def output_vtu(self, filename: str, u) -> None:
+        """Write the solution on the deformed fine mesh to a .vtu file."""
+        from ..utils.vtu import vertex_values, write_vtu
+
+        sp = self.spaces[-1]
+        write_vtu(
+            filename, self.gmeshes[-1],
+            {"solution": vertex_values(
+                self.gmeshes[-1], sp.degree, sp.local_to_global(),
+                np.asarray(u))},
+        )
 
     def solve(self, rhs: np.ndarray | None = None, rtol: float = 1e-12,
               verbose: bool = False):

@@ -180,7 +180,7 @@ class PallasLaplaceOperator:
         if byp % 8 != 0:
             raise ValueError("pallas kernel requires by*p % 8 == 0")
 
-        n_mats = 12 if core == "mxu3" else 6
+        n_mats = {"banded": 6, "mxu": 6, "mxu3": 12, "hyb3": 10}[core]
         n_facs = 0 if mode == "apply" else 6
         n_scal = 0 if scal is None else 1
         n_bins = len(blocked_ins)
@@ -204,7 +204,12 @@ class PallasLaplaceOperator:
             else:
                 out_refs = refs[pos: pos + n_outs]
                 (slab, carry_y, carry_x, sems) = refs[pos + n_outs:]
-            (Az_r, Bz_r, Ax_r, Bx_r, Ay_r, By_r) = mat_refs[:6]
+            if core == "hyb3":
+                # z band arrays + hi/lo dense x/y matrices
+                (Az_r, Bz_r, Ax_r, Bx_r, Ay_r, By_r,
+                 Axl_r, Bxl_r, Ayl_r, Byl_r) = mat_refs
+            else:
+                (Az_r, Bz_r, Ax_r, Bx_r, Ay_r, By_r) = mat_refs[:6]
             i = pl.program_id(0)
             j = pl.program_id(1)
             k = i * nbj + j
@@ -331,6 +336,38 @@ class PallasLaplaceOperator:
                 mb, kb = banded_pair(b, By_r, Ay_r, 1)
                 ma = banded(a, By_r, 1)
                 raw = banded(mb, Ax_r, 0) + banded(kb + ma, Bx_r, 0)
+            elif core == "hyb3":
+                # exact-grade hybrid: the z contractions stay banded f32 on
+                # the VPU (the lane-axis rolls are cheap and exact; a dense
+                # [Z,Z] matmul's flop waste grows with Z), while the small
+                # y/x contractions run as hi/lo-split bf16 matmuls on the
+                # MXU (~1e-7 relative).  VPU and MXU work overlap.
+                bf = jnp.bfloat16
+
+                def dy(t, w_r):
+                    return jax.lax.dot_general(
+                        w_r[...], t, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                def dx(t, w_r):
+                    return jax.lax.dot_general(
+                        w_r[...], t, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                def c3(d, t, whi_r, wlo_r):
+                    hi = t.astype(bf)
+                    lo = (t - hi.astype(jnp.float32)).astype(bf)
+                    return d(hi, whi_r) + d(lo, whi_r) + d(hi, wlo_r)
+
+                b, a = banded_pair(um, Bz_r, Az_r, 2)
+                mb = c3(dy, b, By_r, Byl_r)
+                kb = c3(dy, b, Ay_r, Ayl_r)
+                ma = c3(dy, a, By_r, Byl_r)
+                raw = c3(dx, mb, Ax_r, Axl_r) + c3(
+                    dx, kb + ma, Bx_r, Bxl_r
+                )
             else:
                 # smoother-grade bf16 MXU core: every 1D contraction is a
                 # dense matmul on the systolic array (inputs rounded to bf16,
@@ -574,7 +611,7 @@ def make_pallas_laplace(
             "pallas operator requires dim==3, n*p % 128 == 0 and "
             "8-aligned block windows; use make_laplace_auto for fallback"
         )
-    if core not in ("banded", "mxu", "mxu3"):
+    if core not in ("banded", "mxu", "mxu3", "hyb3"):
         raise ValueError(f"unknown pallas core: {core!r}")
     p = space.degree
     n = space.mesh.cells_per_axis
@@ -612,25 +649,9 @@ def make_pallas_laplace(
         to_bands(Kyl, p).reshape(nb, 1, Y, 1),
         to_bands(Myl, p).reshape(nb, 1, Y, 1),
     )
-    dense_mats = None
-    if core in ("mxu", "mxu3"):
-        bf = jnp.bfloat16
-        KyB = np.broadcast_to(Kyl, (X,) + Kyl.shape)
-        MyB = np.broadcast_to(Myl, (X,) + Myl.shape)
-        dense = (Kzm, Mzm, Kxl, Mxl, KyB, MyB)
-        his = tuple(jnp.asarray(w, bf) for w in dense)
-        if core == "mxu":
-            dense_mats = his
-        else:
-            los = tuple(
-                jnp.asarray(
-                    np.asarray(w, np.float32)
-                    - np.asarray(h, np.float32),
-                    bf,
-                )
-                for w, h in zip(dense, his)
-            )
-            dense_mats = his + los
+    dense_mats = _dense_mats_for_core(
+        core, Kzm, Mzm, Kxl, Mxl, Kyl, Myl, X, p, dtype
+    )
     gK, gM = diagonal_1d_factors(space)
     return PallasLaplaceOperator(
         dim=space.dim,
@@ -647,6 +668,40 @@ def make_pallas_laplace(
         dK1=(jnp.asarray(gK, dtype),) * space.dim,
         dM1=(jnp.asarray(gM, dtype),) * space.dim,
     )
+
+
+def _dense_mats_for_core(core, Kzm, Mzm, Kxl, Mxl, Kyl, Myl, X, p, dtype):
+    """Matrix operand pack per compute core (see PallasLaplaceOperator)."""
+    if core == "banded":
+        return None
+    bf = jnp.bfloat16
+    KyB = np.broadcast_to(Kyl, (X,) + Kyl.shape)
+    MyB = np.broadcast_to(Myl, (X,) + Myl.shape)
+
+    def hilo(mats):
+        his = tuple(jnp.asarray(w, bf) for w in mats)
+        los = tuple(
+            jnp.asarray(
+                np.asarray(w, np.float32) - np.asarray(h, np.float32), bf
+            )
+            for w, h in zip(mats, his)
+        )
+        return his, los
+
+    if core == "mxu":
+        his, _ = hilo((Kzm, Mzm, Kxl, Mxl, KyB, MyB))
+        return his
+    if core == "mxu3":
+        his, los = hilo((Kzm, Mzm, Kxl, Mxl, KyB, MyB))
+        return his + los
+    # hyb3: exact banded z (f32 band arrays) + hi/lo dense x/y
+    nb = 2 * p + 1
+    Z = Kzm.shape[0]
+    his, los = hilo((Kxl, Mxl, KyB, MyB))
+    return (
+        jnp.asarray(to_bands(Kzm, p).reshape(nb, 1, 1, Z), dtype),
+        jnp.asarray(to_bands(Mzm, p).reshape(nb, 1, 1, Z), dtype),
+    ) + his + los
 
 
 def slab_pallas_eligible(
@@ -717,22 +772,9 @@ def make_pallas_slab(
         to_bands(Kyl, p).reshape(nb, 1, Y, 1),
         to_bands(Myl, p).reshape(nb, 1, Y, 1),
     )
-    dense_mats = None
-    if core in ("mxu", "mxu3"):
-        bf = jnp.bfloat16
-        KyB = np.broadcast_to(Kyl, (X,) + Kyl.shape)
-        MyB = np.broadcast_to(Myl, (X,) + Myl.shape)
-        dense = (Kzm, Mzm, Kxl, Mxl, KyB, MyB)
-        his = tuple(jnp.asarray(w, bf) for w in dense)
-        dense_mats = his
-        if core == "mxu3":
-            los = tuple(
-                jnp.asarray(
-                    np.asarray(w, np.float32) - np.asarray(h, np.float32), bf
-                )
-                for w, h in zip(dense, his)
-            )
-            dense_mats = his + los
+    dense_mats = _dense_mats_for_core(
+        core, Kzm, Mzm, Kxl, Mxl, Kyl, Myl, X, p, dtype
+    )
     gK, gM = diagonal_1d_factors(space)
     m1j = jnp.asarray(m1, dtype)
     gKj, gMj = jnp.asarray(gK, dtype), jnp.asarray(gM, dtype)
@@ -772,13 +814,10 @@ def make_laplace_auto(
     1.26 ms at 8x8 on r=6 Q4); 8x8 remains the fallback for small grids."""
     if dtype == jnp.float32:
         for b in (16, 8):
-            # the banded core at 16x16 with 512 lanes crashes the Mosaic
-            # compiler (the unrolled roll chain gets too large); cap it
-            if (
-                core == "banded"
-                and b == 16
-                and space.mesh.cells_per_axis * space.degree > 256
-            ):
+            # 16x16 blocks with >256 lanes crash the Mosaic compiler
+            # (observed for both the banded roll chains and the fused
+            # Chebyshev program); cap the block size there
+            if b == 16 and space.mesh.cells_per_axis * space.degree > 256:
                 continue
             if pallas_eligible(space, b, b):
                 X = Y = b * space.degree + 1

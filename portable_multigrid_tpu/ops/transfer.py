@@ -43,6 +43,28 @@ from ..utils.pytree import pytree_dataclass, static_field
 from .structured import contract, overlap_add, split_windows
 
 
+def _contract_unrolled(t: jnp.ndarray, M: jnp.ndarray, axis: int,
+                       transpose: bool = False) -> jnp.ndarray:
+    """1D contraction unrolled into scalar broadcast-FMAs (VPU-shaped).
+
+    The window contractions have K = p+1 (or 2p+1) — hopeless MXU shapes;
+    unrolling forces elementwise code, which the VPU executes at full rate.
+    ``transpose`` contracts with M^T instead."""
+    import jax
+
+    w_out = M.shape[1] if transpose else M.shape[0]
+    w_in = M.shape[0] if transpose else M.shape[1]
+    outs = []
+    for o in range(w_out):
+        acc = None
+        for j in range(w_in):
+            m = M[j, o] if transpose else M[o, j]
+            term = m * jax.lax.index_in_dim(t, j, axis, keepdims=False)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=axis)
+
+
 @pytree_dataclass
 class Transfer:
     """Two-level transfer on structured grids (covers h- and p-coarsening)."""
@@ -51,6 +73,13 @@ class Transfer:
     n_coarse: tuple = static_field()  # coarse cells per axis (tuple)
     stride_c: int = static_field()  # p_coarse
     stride_f: int = static_field()  # 2p (h) or p_fine (p)
+    # contraction engine: "unrolled" (scalar broadcast-FMAs on the VPU —
+    # the tiny-K window matmuls are hopeless MXU shapes: measured 2.81 ms vs
+    # 4.28 ms for the r=6 fine transfer pair) or "dot" (tensordot at
+    # f32-exact precision).  Bitwise-identical algebra; the factories pick
+    # unrolled for f32 (TPU) and dot for f64 (the unrolled graph makes XLA
+    # CPU compiles of 8-device sharded programs pathologically slow).
+    algo: str = static_field(default="dot")
     M1: jnp.ndarray = None  # [stride_f+1, stride_c+1] 1D prolongation
     wmask_f: tuple = None  # per-axis [N_f] fine weights * fine mask factors
     mask_c1: tuple = None  # per-axis [N_c] coarse mask factors
@@ -80,7 +109,10 @@ class Transfer:
             t = t * self._mc(ax)  # constrained coarse DoFs read zero
         for ax in range(self.dim):
             t = split_windows(t, ax, self.n_coarse[ax], self.stride_c)
-            t = contract(t, self.M1, ax + 1)
+            if self.algo == "unrolled":
+                t = _contract_unrolled(t, self.M1, ax + 1)
+            else:
+                t = contract(t, self.M1, ax + 1)
             t = overlap_add(t, ax, self.n_coarse[ax], self.stride_f)
             t = t * self._wf(ax)
         return t
@@ -100,9 +132,13 @@ class Transfer:
             t = t * self._wf(ax)  # weights BEFORE the contraction
         for ax in range(self.dim):
             t = split_windows(t, ax, self.n_coarse[ax], self.stride_f)
-            t = jnp.moveaxis(
-                jnp.tensordot(t, self.M1, axes=((ax + 1,), (0,))), -1, ax + 1
-            )
+            if self.algo == "unrolled":
+                t = _contract_unrolled(t, self.M1, ax + 1, transpose=True)
+            else:
+                t = jnp.moveaxis(
+                    jnp.tensordot(t, self.M1, axes=((ax + 1,), (0,))),
+                    -1, ax + 1,
+                )
             t = overlap_add(t, ax, self.n_coarse[ax], self.stride_c)
             t = t * self._mc(ax)  # masked scatter on constrained coarse DoFs
         return t
@@ -122,6 +158,17 @@ def _weights_1d(n_coarse: int, stride_f: int) -> np.ndarray:
     return w
 
 
+def _default_algo(dtype) -> str:
+    """"unrolled" on the f32 (TPU) path — measured 2.81 vs 4.28 ms for the
+    r=6 fine pair; "dot" on the f64 (CPU test) path, where the unrolled
+    slice/stack graph makes XLA CPU compiles of 8-device sharded programs
+    pathologically slow."""
+    import os
+
+    default = "unrolled" if dtype == jnp.float32 else "dot"
+    return os.environ.get("PMG_TRANSFER_ALGO", default)
+
+
 def make_h_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float64) -> Transfer:
     """Geometric transfer between two uniformly refined levels, equal degree."""
     if coarse.degree != fine.degree:
@@ -138,6 +185,7 @@ def make_h_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float64) -> Transf
         n_coarse=(n_c,) * dim,
         stride_c=p,
         stride_f=2 * p,
+        algo=_default_algo(dtype),
         M1=jnp.asarray(M1, dtype),
         wmask_f=(jnp.asarray(w, dtype),) * dim,
         mask_c1=(jnp.asarray(coarse.free_mask_1d(), dtype),) * dim,
@@ -157,6 +205,7 @@ def make_p_transfer(coarse: FESpace, fine: FESpace, dtype=jnp.float64) -> Transf
         n_coarse=(n,) * dim,
         stride_c=coarse.degree,
         stride_f=fine.degree,
+        algo=_default_algo(dtype),
         M1=jnp.asarray(M1, dtype),
         wmask_f=(jnp.asarray(w, dtype),) * dim,
         mask_c1=(jnp.asarray(coarse.free_mask_1d(), dtype),) * dim,

@@ -108,15 +108,23 @@ class FusedChebyshev:
         return self.op.inv_diag
 
     def _steps(self, r, d, x):
+        # lax.scan so the fused-step kernel is emitted ONCE per smoother
+        # apply (an unrolled loop re-emits the Mosaic kernel body per step,
+        # blowing up the MLIR the remote compile helper has to swallow)
         sigma1 = self.theta / self.delta
-        rho = 1.0 / sigma1
-        for _ in range(1, self.degree):
+
+        def step(carry, _):
+            r, d, x, rho = carry
             rho_new = 1.0 / (2.0 * sigma1 - rho)
             scal = jnp.stack(
                 [rho_new * rho, 2.0 * rho_new / self.delta]
             ).astype(jnp.float32)
             r, d, x = self.op_smooth._run("cheb", d, (r, x), scal)
-            rho = rho_new
+            return (r, d, x, rho_new), None
+
+        (r, d, x, _), _ = jax.lax.scan(
+            step, (r, d, x, 1.0 / sigma1), None, length=self.degree - 1
+        )
         return x
 
     def _trim(self, b):

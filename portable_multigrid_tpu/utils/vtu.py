@@ -90,3 +90,96 @@ def write_vti(
     ]
     with open(filename, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def vertex_values(gmesh, degree: int, l2g: np.ndarray, u) -> np.ndarray:
+    """Per-mesh-vertex values of a Q_degree FE function on a GeneralMesh.
+
+    Extracts the corner DoFs of each cell (local lexicographic index
+    sum_k bit_k * degree * (degree+1)^(dim-1-k)) — continuity makes the
+    per-vertex value well defined."""
+    dim = gmesh.dim
+    p = degree
+    u = np.asarray(u).reshape(-1)
+    out = np.zeros(gmesh.vertices.shape[0])
+    corners = []
+    for v in range(2**dim):
+        idx = 0
+        for k in range(dim):
+            bit = (v >> (dim - 1 - k)) & 1
+            idx += bit * p * (p + 1) ** (dim - 1 - k)
+        corners.append(idx)
+    out[gmesh.cells.reshape(-1)] = u[l2g[:, corners].reshape(-1)]
+    return out
+
+
+# VTK cell types and lexicographic -> VTK corner permutations
+_VTK_CELL = {1: (3, [0, 1]), 2: (9, [0, 1, 3, 2]), 3: (12, [0, 1, 3, 2, 4, 5, 7, 6])}
+
+
+def write_vtu(
+    filename: str,
+    gmesh,
+    fields: dict[str, np.ndarray],
+    compression_level: int = 1,
+) -> None:
+    """Write per-VERTEX fields on a general/unstructured mesh to a .vtu
+    (VTK UnstructuredGrid) file — the output path for the unstructured and
+    curved-geometry models (use :func:`vertex_values` to sample a Q_p
+    solution at the vertices; the analog of the reference's DataOut with
+    one patch subdivision, source/geometric_multigrid/program.cc:368-380).
+    """
+    dim = gmesh.dim
+    V = gmesh.vertices.shape[0]
+    E = gmesh.n_cells
+    ctype, perm = _VTK_CELL[dim]
+
+    pts = np.zeros((V, 3), dtype=np.float32)
+    pts[:, :dim] = gmesh.vertices
+    conn = gmesh.cells[:, perm].astype(np.int32)
+    offsets = (np.arange(1, E + 1) * conn.shape[1]).astype(np.int32)
+    types = np.full(E, ctype, dtype=np.uint8)
+
+    def arr_lines(name, typ, comps, data_bytes):
+        blob = _encode_block(data_bytes, compression_level).decode("ascii")
+        head = f'        <DataArray type="{typ}" '
+        if name:
+            head += f'Name="{name}" '
+        if comps:
+            head += f'NumberOfComponents="{comps}" '
+        head += 'format="binary">'
+        return [head, "          " + blob, "        </DataArray>"]
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="UnstructuredGrid" version="1.0" '
+        'byte_order="LittleEndian" header_type="UInt32" '
+        'compressor="vtkZLibDataCompressor">',
+        "  <UnstructuredGrid>",
+        f'    <Piece NumberOfPoints="{V}" NumberOfCells="{E}">',
+        "      <Points>",
+        *arr_lines(None, "Float32", 3, pts.tobytes()),
+        "      </Points>",
+        "      <Cells>",
+        *arr_lines("connectivity", "Int32", None, conn.tobytes()),
+        *arr_lines("offsets", "Int32", None, offsets.tobytes()),
+        *arr_lines("types", "UInt8", None, types.tobytes()),
+        "      </Cells>",
+    ]
+    if fields:
+        lines.append(f'      <PointData Scalars="{next(iter(fields))}">')
+        for name, arr in fields.items():
+            arr = np.asarray(arr, dtype=np.float32)
+            if arr.shape != (V,):
+                raise ValueError(
+                    f"field {name!r} must be per-vertex [{V}], got {arr.shape}"
+                )
+            lines += arr_lines(name, "Float32", 1, arr.tobytes())
+        lines.append("      </PointData>")
+    lines += [
+        "    </Piece>",
+        "  </UnstructuredGrid>",
+        "</VTKFile>",
+    ]
+    with open(filename, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -21,6 +21,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    # honor JAX_PLATFORMS explicitly: the axon sitecustomize pins the TPU
+    # backend and plain env vars do NOT win against it
+    import jax
+
+    _plat = os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        try:
+            jax.config.update("jax_platforms", _plat)
+        except RuntimeError:
+            pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=3)
     ap.add_argument("--max-degree", type=int, default=7)

@@ -21,6 +21,14 @@ from portable_multigrid_tpu.solvers.chebyshev import Chebyshev
 from portable_multigrid_tpu.solvers.vcycle import MGLevel
 
 
+@pytest.fixture(scope="module")
+def base_stats():
+    """One shared baseline f32-V-cycle solve (3D Q4 r=2) for all count
+    tests — interpret-mode solves are expensive on the 1-core CI host."""
+    _, st = MixedPrecisionPoisson(3, 4, 2, mg_dtype=jnp.float32).solve()
+    return st
+
+
 def _swap_fine_smoother(prob, core):
     mxu = make_pallas_laplace(
         prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core=core
@@ -39,19 +47,16 @@ def _swap_fine_smoother(prob, core):
 
 
 @pytest.mark.parametrize("core", ["mxu", "mxu3"])
-def test_mxu_smoother_preserves_convergence_counts(core):
+def test_mxu_smoother_preserves_convergence_counts(core, base_stats):
     dim, p, r = 3, 4, 2
-    base = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
-    _, st_base = base.solve()
-
     prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
     _swap_fine_smoother(prob, core)
     _, st = prob.solve()
 
     assert st.converged
-    assert st.iterations == st_base.iterations
+    assert st.iterations == base_stats.iterations
     assert st.solution_l2_norm == pytest.approx(
-        st_base.solution_l2_norm, rel=1e-10
+        base_stats.solution_l2_norm, rel=1e-10
     )
 
 
@@ -86,18 +91,19 @@ def test_fused_chebyshev_matches_plain():
     assert np.abs(ra - rb).max() <= 5e-6 * np.abs(ra).max()
 
 
-def test_fused_vcycle_preserves_convergence_counts():
-    """The production configuration: exact banded residuals + fully fused
-    bf16 MXU Chebyshev recurrence — CG history unchanged."""
+@pytest.mark.parametrize("residual_core", ["banded", "hyb3"])
+def test_fused_vcycle_preserves_convergence_counts(residual_core, base_stats):
+    """The production configuration: exact (banded or hi/lo-hybrid)
+    residuals + fully fused bf16 MXU Chebyshev recurrence — CG history
+    unchanged."""
     from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
 
     dim, p, r = 3, 4, 2
-    base = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
-    _, st_base = base.solve()
-
+    st_base = base_stats
     prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
     exact = make_pallas_laplace(
-        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="banded"
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True,
+        core=residual_core,
     )
     mxu = make_pallas_laplace(
         prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="mxu"

@@ -31,3 +31,13 @@ def test_polynomial_driver_cli():
               "--rtol", "1e-4"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Solver converged" in r.stdout
+
+
+def test_unstructured_driver_cli(tmp_path):
+    vtu = os.path.join(tmp_path, "u.vtu")
+    r = _run(["programs/unstructured_multigrid.py", "--dim", "2",
+              "--degree", "2", "--refinements", "1", "--rtol", "1e-6",
+              "--vtu", vtu])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Solver converged" in r.stdout
+    assert os.path.exists(vtu)
