@@ -59,9 +59,10 @@ def main():
     )
     print(json.dumps(results[-1]), flush=True)
 
-    # config 2: 3D Q4 sum-factorized operator + Chebyshev smoothing
+    # config 2: 3D Q4 operator + Chebyshev smoothing (auto = fused Pallas
+    # kernels with the bf16-MXU fused smoother recurrence where eligible)
     r = 5 - shrink
-    prob = GeometricMultigridPoisson(3, 4, r, dtype=jnp.float32, variant="kron")
+    prob = GeometricMultigridPoisson(3, 4, r, dtype=jnp.float32, variant="auto")
     dt, st = _time_solve(lambda: prob.solve(rtol=1e-5)[1])
     results.append(
         {"config": "3d_q4_geometric_chebyshev", "n_dofs": st.n_dofs,
