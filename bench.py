@@ -71,7 +71,7 @@ def main():
     # the tunneled attachment are too slow for 135M-DoF grids
     op = build_op(fine)
     u = jax.random.normal(jax.random.PRNGKey(0), fine.grid_shape, dtype)
-    t_apply = measure_op(op.apply, u)
+    t_apply = measure_op(op.apply, u, repeats=3)
     apply_dofs_per_s = n_dofs / t_apply
 
     # --- V-cycle benchmark: the production preconditioner ------------------
@@ -109,7 +109,7 @@ def main():
     # (2, 6): a 4-cycle slope — the tunneled attachment's per-call jitter is
     # the dominant noise source, so average over more cycles
     vc_iters = (1, 3) if refinements >= 7 else (2, 6)
-    t_vcycle = measure_op(mg.apply, b, iterations=vc_iters)
+    t_vcycle = measure_op(mg.apply, b, iterations=vc_iters, repeats=3)
     vcycle_dofs_per_s = n_dofs / t_vcycle
 
     result = {

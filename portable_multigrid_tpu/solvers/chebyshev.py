@@ -98,6 +98,12 @@ class FusedChebyshev:
     """
 
     degree: int = static_field()
+    # "unroll" (default) lets XLA schedule across recurrence steps; "scan"
+    # emits the fused-step kernel once per smoother, shrinking program size,
+    # but its carry copies cost ~2x per smoothing step (7.1 vs 3.6 ms
+    # measured at r=6) — keep it only as an escape hatch for compile-size
+    # limits
+    steps_mode: str = static_field(default="unroll")
     op: object = None
     op_smooth: object = None
     theta: jnp.ndarray = None
@@ -108,9 +114,6 @@ class FusedChebyshev:
         return self.op.inv_diag
 
     def _steps(self, r, d, x):
-        # lax.scan so the fused-step kernel is emitted ONCE per smoother
-        # apply (an unrolled loop re-emits the Mosaic kernel body per step,
-        # blowing up the MLIR the remote compile helper has to swallow)
         sigma1 = self.theta / self.delta
 
         def step(carry, _):
@@ -122,10 +125,15 @@ class FusedChebyshev:
             r, d, x = self.op_smooth._run("cheb", d, (r, x), scal)
             return (r, d, x, rho_new), None
 
-        (r, d, x, _), _ = jax.lax.scan(
-            step, (r, d, x, 1.0 / sigma1), None, length=self.degree - 1
-        )
-        return x
+        carry = (r, d, x, 1.0 / sigma1)
+        if self.steps_mode == "unroll":
+            for _ in range(self.degree - 1):
+                carry, _ = step(carry, None)
+        else:
+            carry, _ = jax.lax.scan(
+                step, carry, None, length=self.degree - 1
+            )
+        return carry[2]
 
     def _trim(self, b):
         g = self.op.grid_shape

@@ -34,7 +34,7 @@ def trace(dirname: str):
 
 
 def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
-               params=None) -> float:
+               params=None, repeats: int = 1) -> float:
     """Per-iteration wall time of x -> f(x) (or f(params, x) when ``params``
     is given), robust to async dispatch.
 
@@ -44,6 +44,9 @@ def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
     block_until_ready is unreliable (e.g. tunneled TPU attachments).
     Pass large operator pytrees via ``params`` so they become jit arguments
     rather than closure constants embedded in the compiled program.
+    ``repeats`` > 1 takes the minimum of several timed runs per iteration
+    count — the tunneled relay's per-call jitter is one-sided, so best-of-k
+    recovers the true steady-state slope.
     """
     ts = {}
     for n in iterations:
@@ -64,9 +67,13 @@ def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
 
             run = lambda: float(loop(params, x0))
         run()  # compile + warm
-        t0 = time.perf_counter()
-        run()
-        ts[n] = time.perf_counter() - t0
+        best = None
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            run()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ts[n] = best
     n0, n1 = iterations
     return (ts[n1] - ts[n0]) / (n1 - n0)
 
