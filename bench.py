@@ -77,8 +77,15 @@ def main():
     # --- V-cycle benchmark: the production preconditioner ------------------
     # (reference smoother setup: source/geometric_multigrid/program.cc:259-287)
     from portable_multigrid_tpu.ops.pallas_laplace import PallasLaplaceOperator
+    from portable_multigrid_tpu.solvers.vcycle import wire_trimmed
 
+    # trimmed pipeline (default): fused levels chain kernel-to-kernel on
+    # trimmed state — no pad/trim/add XLA passes between kernels; eligible
+    # level pairs run the fused pallas transfer kernels
+    trimmed = os.environ.get("PMG_BENCH_TRIMMED", "1") == "1"
+    use_pallas_tr = os.environ.get("PMG_BENCH_PALLAS_TRANSFER", "1") == "1"
     levels = []
+    prev_trimmed = False
     for i, sp in enumerate(spaces):
         lop = build_op(sp)
         # bf16-grade MXU kernel inside the (fully kernel-fused) Chebyshev
@@ -93,19 +100,45 @@ def main():
             if not isinstance(fused, PallasLaplaceOperator):
                 fused = None
         if i == 0:
+            # reference-faithful coarse setup: eig-CG iterations = m()
+            # (= n_dofs, tiny on the 1-cell base mesh) — identical to the
+            # models/ solvers so bench program == solver program literally
             sm = make_chebyshev(
                 lop, smoothing_range=1e-3, degree=None,
-                eig_cg_n_iterations=min(sp.n_dofs, 128),
+                eig_cg_n_iterations=sp.n_dofs,
             )
         else:
             sm = make_chebyshev(
                 lop, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
                 fused_smoother_op=fused,
+                trimmed_io=trimmed and fused is not None,
             )
-        tr = make_h_transfer(spaces[i - 1], sp, dtype) if i > 0 else None
+        cur_trimmed = bool(getattr(sm, "trimmed_io", False))
+        tr = None
+        if i > 0:
+            if cur_trimmed and use_pallas_tr:
+                from portable_multigrid_tpu.ops.pallas_transfer import (
+                    make_h_transfer_auto,
+                )
+
+                tr = make_h_transfer_auto(
+                    spaces[i - 1], sp, dtype, cur_trimmed, prev_trimmed
+                )
+            else:
+                tr = make_h_transfer(spaces[i - 1], sp, dtype)
+        prev_trimmed = cur_trimmed
         levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
-    mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2, levels=tuple(levels))
+    levels, fine_trim = wire_trimmed(levels)
+    mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+                fine_trimmed=fine_trim, levels=tuple(levels))
     b = jax.random.normal(jax.random.PRNGKey(1), fine.grid_shape, dtype)
+    # mask the input: FusedChebyshev is equivalent to the plain smoother
+    # only on masked inputs (constrained entries zero — the production
+    # solver invariant); three cheap on-device broadcasts
+    for d, f in enumerate(op.mask1):
+        shp = [1] * dim
+        shp[d] = f.shape[0]
+        b = b * f.reshape(shp)
     # (2, 6): a 4-cycle slope — the tunneled attachment's per-call jitter is
     # the dominant noise source, so average over more cycles
     vc_iters = (1, 3) if refinements >= 7 else (2, 6)

@@ -127,6 +127,7 @@ class MixedPrecisionPoisson:
         fine = self.spaces[-1]
         rhs = jnp.asarray(assemble_rhs(fine), jnp.float64)
         mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+                    fine_trimmed=bool(getattr(self, "fine_trimmed", False)),
                     levels=self.levels)
         mg_dtype = self.mg_dtype
 

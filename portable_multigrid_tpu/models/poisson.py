@@ -58,10 +58,11 @@ def _build_level(
         from ..ops.pallas_laplace import PallasLaplaceOperator, make_laplace_auto
 
         op = make_laplace_auto(space, dtype)
-        if isinstance(op, PallasLaplaceOperator):
+        if isinstance(op, PallasLaplaceOperator) and not coarse:
             # the Chebyshev recurrence tolerates a bf16-grade operator (the
             # residuals and CG stay on the exact banded kernel) — verified
             # to preserve convergence counts in tests/test_pallas_smoother.py
+            # (coarse levels never smooth fused, so skip the MXU setup there)
             smoother_op = make_laplace_auto(space, dtype, core="mxu")
             if not isinstance(smoother_op, PallasLaplaceOperator):
                 smoother_op = None
@@ -79,6 +80,9 @@ def _build_level(
         smoother = make_chebyshev(
             op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
             fused_smoother_op=fused,
+            # fused levels run the trimmed kernel-chained pipeline (state
+            # pads/trims only at representation boundaries — wire_trimmed)
+            trimmed_io=fused is not None,
         )
     return op, smoother
 
@@ -101,15 +105,31 @@ class _MultigridPoissonBase:
 
     def _assemble_levels(self, spaces, make_transfer):
         levels = []
+        prev_trimmed = False
         for i, sp in enumerate(spaces):
             op, smoother = _build_level(
                 sp, self.dtype, coarse=(i == 0), variant=self.variant,
                 coefficient=self.coefficient,
             )
-            transfer = (
-                make_transfer(spaces[i - 1], sp, self.dtype) if i > 0 else None
-            )
+            cur_trimmed = bool(getattr(smoother, "trimmed_io", False))
+            transfer = None
+            if i > 0:
+                if cur_trimmed and make_transfer is make_h_transfer:
+                    # trimmed pallas level: fused pallas transfer kernels
+                    # where the pair is eligible
+                    from ..ops.pallas_transfer import make_h_transfer_auto
+
+                    transfer = make_h_transfer_auto(
+                        spaces[i - 1], sp, self.dtype, cur_trimmed,
+                        prev_trimmed,
+                    )
+                else:
+                    transfer = make_transfer(spaces[i - 1], sp, self.dtype)
+            prev_trimmed = cur_trimmed
             levels.append(MGLevel(op=op, smoother=smoother, transfer=transfer))
+        from ..solvers.vcycle import wire_trimmed
+
+        levels, self.fine_trimmed = wire_trimmed(levels)
         self.spaces = list(spaces)
         self.levels = tuple(levels)
 
@@ -127,6 +147,7 @@ class _MultigridPoissonBase:
         mg = VCycle(
             pre_smoothing_steps=pre_smoothing_steps,
             post_smoothing_steps=post_smoothing_steps,
+            fine_trimmed=bool(getattr(self, "fine_trimmed", False)),
             levels=self.levels,
         )
         result = _solve(self.levels[-1].op, mg, rhs, rtol)

@@ -153,6 +153,13 @@ class PallasLaplaceOperator:
         * "residual": the first half of a Chebyshev smoothing step, fused:
                       r0 = rhs - M A M u (u, rhs full), d0 = r0/(theta·diag);
                       blocked_ins = (rhs,), scal = [[theta, ·]].
+        * "residual3t": trimmed-state variant of "residual" that also seeds
+                      the recurrence accumulator: u, rhs TRIMMED, outputs
+                      (r0, d0, x0 = u + d0) — the whole smoothing step then
+                      runs kernel-to-kernel with zero XLA elementwise passes
+                      (the final recurrence x IS the smoothed u).
+        * "residual1t": trimmed r0 = rhs - M A M u only (restriction prep);
+                      no diagonal factors, no scalars.
         * "cheb":     one fused Chebyshev recurrence step on TRIMMED state
                       (constrained entries identically zero by invariant):
                       r' = r - M A M d; d' = c0 d + c1 r'/diag; x' = x + d';
@@ -175,16 +182,17 @@ class PallasLaplaceOperator:
         dtype = self.dtype
         nb = 2 * p + 1
         core = self.core
-        trimmed_in = mode == "cheb"
+        trimmed_in = mode in ("cheb", "residual3t", "residual1t")
 
         if byp % 8 != 0:
             raise ValueError("pallas kernel requires by*p % 8 == 0")
 
         n_mats = {"banded": 6, "mxu": 6, "mxu3": 12, "hyb3": 10}[core]
-        n_facs = 0 if mode == "apply" else 6
+        n_facs = 0 if mode in ("apply", "residual1t") else 6
         n_scal = 0 if scal is None else 1
         n_bins = len(blocked_ins)
-        n_outs = {"apply": 1, "residual": 2, "cheb": 3}[mode]
+        n_outs = {"apply": 1, "residual": 2, "residual3t": 3,
+                  "residual1t": 1, "cheb": 3}[mode]
         xmask_vec = self.xmask == "vector"
         n_xm = 1 if xmask_vec else 0
 
@@ -497,6 +505,10 @@ class PallasLaplaceOperator:
                         ).wait()
                 return
 
+            if mode == "residual1t":
+                out_refs[0][...] = bin_refs[0][...] - outv
+                return
+
             # ---- fused epilogues: the inverse diagonal is rebuilt in-VMEM
             # from per-axis 1D factors (cheaper than streaming a 3D diagonal
             # from HBM; VPU is idle while the MXU core runs the matmuls).
@@ -511,12 +523,17 @@ class PallasLaplaceOperator:
             zM = zM_r[...]
             diag = xK * yM * zM + xM * (yK * zM + yM * zK)
 
-            if mode == "residual":
+            if mode in ("residual", "residual3t"):
                 rhs_blk = bin_refs[0][...]
                 theta = scal_r[0, 0]
                 r0 = rhs_blk - outv
                 out_refs[0][...] = r0
-                out_refs[1][...] = r0 / (theta * diag)
+                d0 = r0 / (theta * diag)
+                out_refs[1][...] = d0
+                if mode == "residual3t":
+                    # seed the recurrence accumulator: x0 = u + d0 (u is the
+                    # kernel's stencil input, already resident in the slab)
+                    out_refs[2][...] = slab[islot, : X - 1, 0:byp, :] + d0
             else:  # "cheb"
                 d_blk = slab[islot, : X - 1, 0:byp, :]
                 r_blk = bin_refs[0][...]
@@ -828,6 +845,11 @@ def make_laplace_auto(
                     + 2 * (X - 1) * (Y - 1) * Z  # output slabs
                     + 2 * nbj * Y * Z  # x-carry planes
                     + 6 * X * Y * Z  # live intermediates
+                    # fused "cheb" mode adds 2 pipeline-blocked inputs +
+                    # 3 blocked outputs, each double-buffered by the Pallas
+                    # pipeline — eligibility must cover the operator's use
+                    # as a FusedChebyshev op_smooth, not just mode "apply"
+                    + 5 * 2 * (X - 1) * (Y - 1) * Z
                 )
                 if est < 110 * 1024 * 1024:
                     return make_pallas_laplace(

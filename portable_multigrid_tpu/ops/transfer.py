@@ -148,6 +148,47 @@ class Transfer:
         return dst + self.restrict(f)
 
 
+@pytree_dataclass
+class TrimmedTransfer:
+    """Adapter between trimmed-state levels (fused Pallas pipeline: the
+    global last plane per axis is dropped, constrained entries zero) and the
+    transfer algebra.
+
+    ``fine_trimmed`` / ``coarse_trimmed`` mark the representation of each
+    side, so hierarchies can mix trimmed Pallas levels with full-grid XLA
+    levels; padding/trimming happens only at representation boundaries (the
+    padded planes are Dirichlet-constrained and identically zero in both
+    representations, so the algebra is unchanged — the masks already zero
+    them).  The XLA pad/slice here is the interim engine; the banded Pallas
+    transfer kernels consume/produce trimmed state natively.
+    """
+
+    fine_trimmed: bool = static_field(default=True)
+    coarse_trimmed: bool = static_field(default=False)
+    base: Transfer = None
+
+    def _pad(self, t):
+        return jnp.pad(t, ((0, 1),) * t.ndim)
+
+    def _trim(self, t):
+        return t[tuple(slice(0, s - 1) for s in t.shape)]
+
+    def restrict(self, f: jnp.ndarray) -> jnp.ndarray:
+        if self.fine_trimmed:
+            f = self._pad(f)
+        c = self.base.restrict(f)
+        return self._trim(c) if self.coarse_trimmed else c
+
+    def prolongate(self, c: jnp.ndarray) -> jnp.ndarray:
+        if self.coarse_trimmed:
+            c = self._pad(c)
+        t = self.base.prolongate(c)
+        return self._trim(t) if self.fine_trimmed else t
+
+    def prolongate_and_add(self, dst: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        return dst + self.prolongate(c)
+
+
 def _weights_1d(n_coarse: int, stride_f: int) -> np.ndarray:
     """Per-axis 1/valence weights on the fine grid: 0.5 at interior
     coarse-cell boundary points, 1 elsewhere."""

@@ -8,12 +8,14 @@ the TPU-native analog of running the reference drivers under ``mpirun -n N``
 with deal.II's distributed triangulation (reference:
 source/geometric_multigrid/program.cc:73-75,124-132,452).
 
-Level layout: every level is sharded; the coarsest level therefore needs at
-least one cell slab per shard, so the hierarchy bottoms out at
-cells_per_axis == n_shards (log2(n_shards) refinements) instead of the
-1-cell base mesh.  (Replicating ultra-coarse levels below that threshold is
-a possible extension; the reference never coarsens below its MPI
-partitioning granularity either.)
+Level layout: levels with at least one cell slab per shard are sharded;
+levels BELOW the shard granularity are REPLICATED on every chip
+(deterministic identical compute, entered through a gather-to-replicated
+transfer, ``sharding.GatherTransfer``), so the hierarchy reaches the 1-cell
+base mesh exactly like the reference
+(source/geometric_multigrid/program.cc:137-147) and sharded iteration
+counts match the single-device solver EXACTLY
+(tests/test_sharding.py::test_sharded_counts_match_single_device).
 
 Smoother eigenvalue bounds are estimated at setup on a single-device twin of
 each level operator — the sharded operator is mathematically identical, so
@@ -200,6 +202,11 @@ def _build_stacked_pallas(
 
     def pick(limit, cells):
         for b in (16, 8, 4, 2, 1):
+            # 16x16 blocks with >256 lanes crash the Mosaic compiler —
+            # mirror the cap make_laplace_auto applies (lanes Z = n*p is a
+            # GLOBAL extent, identical for the slab kernel)
+            if b == 16 and n * p > 256:
+                continue
             if b <= limit and cells % b == 0 and (b * p) % 8 == 0:
                 return b
         return None
@@ -322,7 +329,10 @@ class ShardedGeometricPoisson:
         R = getattr(self, "n_replicated", 0)
         for i, sp in enumerate(self.spaces):
             replicated = i < R
-            n_iter = min(sp.n_dofs, 128) if i == 0 else 10
+            # coarse level: reference-faithful m() = n_dofs eig-CG iterations
+            # (source/geometric_multigrid/program.cc:274-279); the coarse
+            # space is the replicated 1-cell base mesh, so this stays tiny
+            n_iter = sp.n_dofs if i == 0 else 10
             rng_v = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
             if replicated:
                 # below shard granularity: a plain full-grid operator,

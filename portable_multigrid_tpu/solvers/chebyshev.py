@@ -104,6 +104,13 @@ class FusedChebyshev:
     # measured at r=6) — keep it only as an escape hatch for compile-size
     # limits
     steps_mode: str = static_field(default="unroll")
+    # trimmed_io=True: apply/smooth/residual consume AND produce trimmed
+    # state ((N0-1, N1-1, Z), constrained entries zero) so whole V-cycle
+    # levels chain kernel-to-kernel with no pad/trim/add XLA passes; the
+    # smoothing step seeds the recurrence accumulator with u inside the
+    # residual kernel (mode "residual3t").  The V-cycle wires trimmed levels
+    # through TrimmedTransfer (ops/transfer.py) and pads once at the top.
+    trimmed_io: bool = static_field(default=False)
     op: object = None
     op_smooth: object = None
     theta: jnp.ndarray = None
@@ -155,16 +162,23 @@ class FusedChebyshev:
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         """Preconditioner vmult with x0 = 0 on a MASKED input (constrained
         entries of b must be zero; the output's are zero)."""
-        bt = self._trim(b)
+        bt = b if self.trimmed_io else self._trim(b)
         d0 = bt / (self.theta * self._diag_trimmed())
         x = self._steps(bt, d0, d0)
+        if self.trimmed_io:
+            return x
         return jnp.pad(x, ((0, 1), (0, 1), (0, 1)))
 
     def smooth(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """u + Cheb(rhs - A u), the V-cycle smoothing step, with the
         residual fused into the exact-core kernel."""
-        u = u.reshape(self.op.grid_shape)
         scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
+        if self.trimmed_io:
+            # r0 + d0 + (x0 = u + d0) in ONE kernel; the recurrence then
+            # accumulates into u directly — zero XLA passes per smooth
+            r0, d0, x0 = self.op._run("residual3t", u, (rhs,), scal)
+            return self._steps(r0, d0, x0)
+        u = u.reshape(self.op.grid_shape)
         r0, d0 = self.op._run(
             "residual", u, (rhs.reshape(self.op.grid_shape),), scal
         )
@@ -174,6 +188,9 @@ class FusedChebyshev:
     def residual(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """rhs - A u on the free DoFs (constrained entries read rhs, which
         is zero under the solver invariant) — one fused kernel pass."""
+        if self.trimmed_io:
+            (r0,) = self.op._run("residual1t", u, (rhs,))
+            return r0
         u = u.reshape(self.op.grid_shape)
         scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
         r0, _ = self.op._run(
@@ -293,6 +310,7 @@ def make_chebyshev(
     inv_diag: jnp.ndarray | None = None,
     free_mask: jnp.ndarray | None = None,
     fused_smoother_op=None,
+    trimmed_io: bool = False,
 ) -> Chebyshev:
     """Set up the smoother for a level operator (host-side; runs eig-CG on device).
 
@@ -344,7 +362,7 @@ def make_chebyshev(
     if fused_smoother_op is not None:
         return FusedChebyshev(
             degree=deg, op=op, op_smooth=fused_smoother_op,
-            theta=theta, delta=delta,
+            trimmed_io=trimmed_io, theta=theta, delta=delta,
         )
     return Chebyshev(
         degree=deg,

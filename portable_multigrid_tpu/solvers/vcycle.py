@@ -36,10 +36,18 @@ class MGLevel:
 
 @pytree_dataclass
 class VCycle:
-    """Multigrid V-cycle preconditioner: levels[0] is the coarsest."""
+    """Multigrid V-cycle preconditioner: levels[0] is the coarsest.
+
+    ``fine_trimmed=True`` (set by :func:`wire_trimmed`) means the finest
+    level's smoother/transfer operate on TRIMMED state (global last plane
+    per axis dropped — the fused Pallas pipeline's native representation):
+    ``apply`` trims the incoming full-grid residual once and pads the result
+    once, and everything in between chains kernel-to-kernel.
+    """
 
     pre_smoothing_steps: int = static_field(default=2)
     post_smoothing_steps: int = static_field(default=2)
+    fine_trimmed: bool = static_field(default=False)
     levels: tuple = ()
 
     def _smooth(self, level: int, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -74,4 +82,36 @@ class VCycle:
 
     def apply(self, src: jnp.ndarray) -> jnp.ndarray:
         """Preconditioner vmult: dst = V-cycle(0, src) from the finest level."""
-        return self._cycle(len(self.levels) - 1, src)
+        if not self.fine_trimmed:
+            return self._cycle(len(self.levels) - 1, src)
+        g = self.levels[-1].op.grid_shape
+        st = src.reshape(g)[tuple(slice(0, s - 1) for s in g)]
+        out = self._cycle(len(self.levels) - 1, st)
+        return jnp.pad(out, ((0, 1),) * len(g))
+
+
+def wire_trimmed(levels):
+    """Wrap transfers between trimmed-state levels (smoothers with
+    ``trimmed_io=True``) in :class:`ops.transfer.TrimmedTransfer`; returns
+    ``(wired_levels, fine_trimmed)`` to construct a VCycle with.
+
+    Hierarchies may mix trimmed Pallas levels and full-grid XLA levels;
+    representation conversion happens only at level boundaries where the
+    flags differ."""
+    from ..ops.transfer import TrimmedTransfer
+
+    wired = []
+    prev_trim = False
+    for lvl in levels:
+        trim = bool(getattr(lvl.smoother, "trimmed_io", False))
+        tr = lvl.transfer
+        # transfers that already speak trimmed state (TrimmedTransfer,
+        # PallasTransfer) expose a coarse_trimmed flag — leave them alone
+        if (tr is not None and (trim or prev_trim)
+                and not hasattr(tr, "coarse_trimmed")):
+            tr = TrimmedTransfer(
+                fine_trimmed=trim, coarse_trimmed=prev_trim, base=tr
+            )
+        wired.append(MGLevel(op=lvl.op, smoother=lvl.smoother, transfer=tr))
+        prev_trim = trim
+    return wired, prev_trim

@@ -91,6 +91,74 @@ def test_fused_chebyshev_matches_plain():
     assert np.abs(ra - rb).max() <= 5e-6 * np.abs(ra).max()
 
 
+def test_trimmed_io_matches_full():
+    """trimmed_io=True (the kernel-chained trimmed pipeline: residual3t
+    seeding x0 = u + d0, residual1t, no pad/trim passes) computes the SAME
+    smoother algebra as the full-grid fused path to f32 roundoff."""
+    from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+    from portable_multigrid_tpu.fem.space import FESpace
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    sp = FESpace(HyperCubeMesh(3, 3), 4)
+    op = make_pallas_laplace(
+        sp, jnp.float32, bx=4, by=4, interpret=True, core="banded"
+    )
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    full = FusedChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                          delta=delta)
+    trim = FusedChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                          delta=delta, trimmed_io=True)
+    rng = np.random.default_rng(1)
+    m = np.asarray(op.mask)
+    b = jnp.asarray(rng.standard_normal(sp.grid_shape) * m, jnp.float32)
+    u = jnp.asarray(rng.standard_normal(sp.grid_shape) * m, jnp.float32)
+    tt = lambda a: jnp.asarray(np.asarray(a)[:-1, :-1, :-1])
+
+    za = np.asarray(full.apply(b))
+    zb = np.asarray(trim.apply(tt(b)))
+    assert np.abs(za[:-1, :-1, :-1] - zb).max() <= 5e-6 * np.abs(za).max()
+    sa = np.asarray(full.smooth(u, b))
+    sb = np.asarray(trim.smooth(tt(u), tt(b)))
+    assert np.abs(sa[:-1, :-1, :-1] - sb).max() <= 5e-6 * np.abs(sa).max()
+    ra = np.asarray(full.residual(u, b))
+    rb = np.asarray(trim.residual(tt(u), tt(b)))
+    assert np.abs(ra[:-1, :-1, :-1] - rb).max() <= 5e-6 * np.abs(ra).max()
+
+
+def test_trimmed_vcycle_matches_full(base_stats):
+    """wire_trimmed + fine_trimmed V-cycle preserves the CG history of the
+    full-representation fused V-cycle (the production r>=3 composition)."""
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+    from portable_multigrid_tpu.solvers.vcycle import VCycle, wire_trimmed
+
+    dim, p, r = 3, 4, 2
+    prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    exact = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True
+    )
+    mxu = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="mxu"
+    )
+    lv = list(prob.levels)
+    l = lv[-1]
+    sm = FusedChebyshev(
+        degree=l.smoother.degree, op=exact, op_smooth=mxu,
+        theta=l.smoother.theta, delta=l.smoother.delta, trimmed_io=True,
+    )
+    lv[-1] = MGLevel(op=exact, smoother=sm, transfer=l.transfer)
+    wired, fine_trim = wire_trimmed(lv)
+    assert fine_trim
+    prob.levels = tuple(wired)
+    prob.fine_trimmed = True
+    _, st = prob.solve()
+    assert st.converged
+    assert st.iterations == base_stats.iterations
+    assert st.solution_l2_norm == pytest.approx(
+        base_stats.solution_l2_norm, rel=1e-9
+    )
+
+
 @pytest.mark.parametrize("residual_core", ["banded", "hyb3"])
 def test_fused_vcycle_preserves_convergence_counts(residual_core, base_stats):
     """The production configuration: exact (banded or hi/lo-hybrid)
