@@ -1,0 +1,268 @@
+"""Coarse-tail mega-kernel: the ENTIRE sub-V-cycle below a given level as
+ONE Pallas program resident in VMEM.
+
+At the coarse end of the hierarchy (grids of 5^3..65^3, <= ~1 MB each) the
+XLA composition is launch-bound: hundreds of micro-kernels (kron
+contractions, Chebyshev axpys, transfer windows) each cost more to launch
+than to execute, adding up to ~5 ms of a 30 ms r=6 V-cycle (PERFORMANCE.md
+round-2 budget).  All of that state fits in VMEM simultaneously, so this
+kernel traces the whole recursion — levels, smoothers, transfers — into one
+Mosaic program: ONE launch, one HBM read (the coarsest sharded level's
+restricted residual), one HBM write (its correction).
+
+Algebra per level (bit-matching the XLA path it replaces):
+  * operator: masked-Kronecker A_eff u = M A M u + (I - M) u with
+    mask-folded assembled 1D matrices (ops/laplace.py kron variant);
+  * smoother: the standard three-term Chebyshev recurrence
+    (solvers/chebyshev.py:Chebyshev.apply), inverse diagonal passed in as a
+    precomputed 3D operand;
+  * transfers: dense per-axis 1D matrices with weights and Dirichlet masks
+    folded in (ops/pallas_transfer.py:_axis_matrix_1d);
+  * recursion: identical structure to solvers/vcycle.py:VCycle._cycle
+    including the first-pre-smooth-on-zero-guess shortcut and the
+    Chebyshev-as-solver coarsest level (reference:
+    include/multigrid/portable_v_cycle_multigrid.h:128-190).
+
+Contractions run at Precision.HIGHEST (f32-faithful multi-pass MXU) — the
+same grade as the XLA kron path's "high"; the convergence-count tests pin
+the equivalence.
+
+IO convention: trimmed state on the top level (the fused pipeline's native
+representation), padded/sliced inside the kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fem.basis import h_prolongation_matrix_1d
+from ..fem.space import FESpace
+from ..ops.laplace import assembled_1d_matrices, make_laplace
+from ..utils.pytree import pytree_dataclass, static_field
+from .pallas_transfer import _axis_matrix_1d
+from .transfer import _weights_1d
+
+
+@pytree_dataclass
+class CoarseCycleKernel:
+    """levels[0] (coarsest) .. levels[-1] (the kernel's top level); presents
+    the V-cycle coarse-solver surface (``apply``) on the TOP level, trimmed.
+    """
+
+    shapes: tuple = static_field()  # per-level full grid extent N_l
+    degrees: tuple = static_field()  # Chebyshev degree per level
+    pre: int = static_field(default=2)
+    post: int = static_field(default=2)
+    interpret: bool = static_field(default=False)
+    K1m: tuple = None  # per-level [N, N] mask-folded assembled 1D stiffness
+    M1m: tuple = None
+    inv_diag3: tuple = None  # per-level [N, N, N]
+    mask3: tuple = None  # per-level [N, N, N]
+    P1: tuple = None  # per-PAIR [N_f, N_c] weights+masks-folded prolongation
+    scal: jnp.ndarray = None  # [L, 2] (theta, delta) per level
+
+    @property
+    def n_levels(self):
+        return len(self.shapes)
+
+    def apply(self, src: jnp.ndarray) -> jnp.ndarray:
+        """Coarse-solver vmult on the TRIMMED top-level grid."""
+        L = self.n_levels
+        Nt = self.shapes[-1]
+        dtype = src.dtype
+        hi = jax.lax.Precision.HIGHEST
+
+        def ctr(t, W, axis):
+            """out[..., i, ...] = sum_k W[i, k] t[..., k, ...]."""
+            if axis == 2:
+                return jax.lax.dot_general(
+                    t, W, (((2,), (1,)), ((), ())), precision=hi)
+            if axis == 0:
+                return jax.lax.dot_general(
+                    W, t, (((1,), (0,)), ((), ())), precision=hi)
+            return jax.lax.dot_general(
+                W, t, (((1,), (1,)), ((), ())), precision=hi
+            ).transpose(1, 0, 2)
+
+        def ctrT(t, W, axis):
+            """out[..., j, ...] = sum_k W[k, j] t[..., k, ...] — contraction
+            with W^T without materializing a transpose."""
+            if axis == 2:
+                return jax.lax.dot_general(
+                    t, W, (((2,), (0,)), ((), ())), precision=hi)
+            if axis == 0:
+                return jax.lax.dot_general(
+                    W, t, (((0,), (0,)), ((), ())), precision=hi)
+            return jax.lax.dot_general(
+                W, t, (((0,), (1,)), ((), ())), precision=hi
+            ).transpose(1, 0, 2)
+
+        def kernel(src_r, *refs):
+            K_r = refs[:L]
+            M_r = refs[L: 2 * L]
+            idg_r = refs[2 * L: 3 * L]
+            msk_r = refs[3 * L: 4 * L]
+            P_r = refs[4 * L: 5 * L - 1]
+            scal_r = refs[5 * L - 1]
+            out_r = refs[5 * L]
+
+            def apply_op(l, u):
+                m = msk_r[l][...]
+                um = u * m
+                K = K_r[l][...]
+                M = M_r[l][...]
+                b = ctr(um, M, 2)
+                a = ctr(um, K, 2)
+                mb = ctr(b, M, 1)
+                kb = ctr(b, K, 1)
+                ma = ctr(a, M, 1)
+                raw = ctr(mb, K, 0) + ctr(kb + ma, M, 0)
+                return raw + (1.0 - m) * u
+
+            def cheb(l, b):
+                """Chebyshev preconditioner vmult, x0 = 0
+                (solvers/chebyshev.py:Chebyshev.apply)."""
+                theta = scal_r[l, 0]
+                delta = scal_r[l, 1]
+                idg = idg_r[l][...]
+                sigma1 = theta / delta
+                rho = 1.0 / sigma1
+                d = (idg * b) / theta
+                x = d
+                r = b
+                for _ in range(1, self.degrees[l]):
+                    r = r - apply_op(l, d)
+                    rho_new = 1.0 / (2.0 * sigma1 - rho)
+                    d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (
+                        idg * r
+                    )
+                    x = x + d
+                    rho = rho_new
+                return x
+
+            def restrict(l, f):
+                P = P_r[l - 1][...]
+                t = ctrT(f, P, 0)
+                t = ctrT(t, P, 1)
+                return ctrT(t, P, 2)
+
+            def prolongate(l, c):
+                P = P_r[l - 1][...]
+                t = ctr(c, P, 0)
+                t = ctr(t, P, 1)
+                return ctr(t, P, 2)
+
+            def cycle(l, src):
+                if l == 0:
+                    return cheb(0, src)
+                u = cheb(l, src)  # first pre-smooth on the zero guess
+                for _ in range(self.pre - 1):
+                    u = u + cheb(l, src - apply_op(l, u))
+                residual = src - apply_op(l, u)
+                cc = cycle(l - 1, restrict(l, residual))
+                u = u + prolongate(l, cc)
+                for _ in range(self.post):
+                    u = u + cheb(l, src - apply_op(l, u))
+                return u
+
+            src_full = jnp.pad(src_r[...], ((0, 1),) * 3)
+            out = cycle(L - 1, src_full)
+            out_r[...] = out[: Nt - 1, : Nt - 1, : Nt - 1]
+
+        operands = (list(self.K1m) + list(self.M1m) + list(self.inv_diag3)
+                    + list(self.mask3) + list(self.P1) + [self.scal])
+        fn = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * len(operands)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Nt - 1,) * 3, dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=self.interpret,
+        )
+        return fn(src, *operands)
+
+
+@pytree_dataclass
+class CoarseCycleSmoother:
+    """Adapter presenting CoarseCycleKernel as a level-0 'smoother': the
+    V-cycle's coarsest-level solve IS one kernel launch.  trimmed_io marks
+    the level for solvers.vcycle.wire_trimmed."""
+
+    trimmed_io: bool = static_field(default=True)
+    kern: CoarseCycleKernel = None
+
+    def apply(self, src: jnp.ndarray) -> jnp.ndarray:
+        return self.kern.apply(src)
+
+
+def make_coarse_cycle(
+    spaces: list[FESpace],
+    dtype=jnp.float32,
+    *,
+    smoothing_range: float = 15.0,
+    degree: int | None = 5,
+    eig_cg_n_iterations: int = 10,
+    interpret: bool = False,
+) -> CoarseCycleKernel:
+    """Build the mega-kernel for the hierarchy tail ``spaces`` (coarsest
+    first).  Smoother setup (eig-CG bounds, reference rules) runs per level
+    exactly as the XLA composition would (models/poisson.py:_build_level);
+    the coarsest level uses Chebyshev-as-solver
+    (reference: source/geometric_multigrid/program.cc:274-279)."""
+    from ..solvers.chebyshev import make_chebyshev
+
+    K1m, M1m, idg3, msk3, P1 = [], [], [], [], []
+    scal = np.zeros((len(spaces), 2), np.float32)
+    degrees = []
+    for l, sp in enumerate(spaces):
+        if sp.dim != 3:
+            raise ValueError("coarse mega-kernel is 3D-only")
+        K1, M1 = assembled_1d_matrices(sp)
+        m1 = sp.free_mask_1d()
+        K1m.append(jnp.asarray(m1[:, None] * K1 * m1[None, :], dtype))
+        M1m.append(jnp.asarray(m1[:, None] * M1 * m1[None, :], dtype))
+        op = make_laplace(sp, dtype, variant="kron")
+        idg3.append(jnp.asarray(op.inv_diag, dtype))
+        msk3.append(jnp.asarray(op.mask, dtype))
+        if l == 0:
+            sm = make_chebyshev(
+                op, smoothing_range=1e-3, degree=None,
+                eig_cg_n_iterations=sp.n_dofs,
+            )
+        else:
+            sm = make_chebyshev(
+                op, smoothing_range=smoothing_range, degree=degree,
+                eig_cg_n_iterations=eig_cg_n_iterations,
+            )
+        degrees.append(sm.degree)
+        scal[l, 0] = float(sm.theta)
+        scal[l, 1] = float(sm.delta)
+        if l > 0:
+            c = spaces[l - 1]
+            p = sp.degree
+            if c.degree != p or sp.mesh.cells_per_axis != 2 * c.mesh.cells_per_axis:
+                raise ValueError("coarse tail must be a geometric h-sequence")
+            M1p = h_prolongation_matrix_1d(p)
+            w = _weights_1d(c.mesh.cells_per_axis, 2 * p) * sp.free_mask_1d()
+            P = _axis_matrix_1d(M1p, c.mesh.cells_per_axis, p, 2 * p, w,
+                                c.free_mask_1d())
+            P1.append(jnp.asarray(P, dtype))
+    return CoarseCycleKernel(
+        shapes=tuple(sp.grid_shape[0] for sp in spaces),
+        degrees=tuple(degrees),
+        interpret=interpret,
+        K1m=tuple(K1m),
+        M1m=tuple(M1m),
+        inv_diag3=tuple(idg3),
+        mask3=tuple(msk3),
+        P1=tuple(P1),
+        scal=jnp.asarray(scal),
+    )

@@ -165,6 +165,16 @@ class PallasLaplaceOperator:
                       r' = r - M A M d; d' = c0 d + c1 r'/diag; x' = x + d';
                       u = d (trimmed), blocked_ins = (r, x) (trimmed),
                       scal = [[c0, c1]].
+        * "chebf" / "residual3f" / "residual1f": slab-sharded variants of
+                      cheb / residual3t / residual1t where u is X-FULL
+                      (n0*p + 1 rows: the trimmed per-shard state plus the
+                      neighbour's first plane appended by a 1-plane
+                      ppermute) while y/z stay trimmed.  Interior shard
+                      boundaries need the extra input plane for the
+                      slab-local stencil; outputs stay trimmed and the
+                      caller corrects plane 0 with the halo'd partial
+                      contribution (parallel/sharding.py:
+                      ShardedFusedChebyshev).
 
         Fused modes cut the smoother's elementwise HBM traffic: the
         recurrence updates ride the operator kernel's DMA streams instead of
@@ -182,17 +192,20 @@ class PallasLaplaceOperator:
         dtype = self.dtype
         nb = 2 * p + 1
         core = self.core
+        # x-trimmed input: the kernel's last block fetches X-1 rows and
+        # zeroes the final window row ("f" modes carry the extra x plane)
         trimmed_in = mode in ("cheb", "residual3t", "residual1t")
 
         if byp % 8 != 0:
             raise ValueError("pallas kernel requires by*p % 8 == 0")
 
         n_mats = {"banded": 6, "mxu": 6, "mxu3": 12, "hyb3": 10}[core]
-        n_facs = 0 if mode in ("apply", "residual1t") else 6
+        n_facs = 0 if mode in ("apply", "residual1t", "residual1f") else 6
         n_scal = 0 if scal is None else 1
         n_bins = len(blocked_ins)
         n_outs = {"apply": 1, "residual": 2, "residual3t": 3,
-                  "residual1t": 1, "cheb": 3}[mode]
+                  "residual1t": 1, "cheb": 3, "chebf": 3,
+                  "residual3f": 3, "residual1f": 1}[mode]
         xmask_vec = self.xmask == "vector"
         n_xm = 1 if xmask_vec else 0
 
@@ -505,7 +518,7 @@ class PallasLaplaceOperator:
                         ).wait()
                 return
 
-            if mode == "residual1t":
+            if mode in ("residual1t", "residual1f"):
                 out_refs[0][...] = bin_refs[0][...] - outv
                 return
 
@@ -523,14 +536,14 @@ class PallasLaplaceOperator:
             zM = zM_r[...]
             diag = xK * yM * zM + xM * (yK * zM + yM * zK)
 
-            if mode in ("residual", "residual3t"):
+            if mode in ("residual", "residual3t", "residual3f"):
                 rhs_blk = bin_refs[0][...]
                 theta = scal_r[0, 0]
                 r0 = rhs_blk - outv
                 out_refs[0][...] = r0
                 d0 = r0 / (theta * diag)
                 out_refs[1][...] = d0
-                if mode == "residual3t":
+                if mode in ("residual3t", "residual3f"):
                     # seed the recurrence accumulator: x0 = u + d0 (u is the
                     # kernel's stencil input, already resident in the slab)
                     out_refs[2][...] = slab[islot, : X - 1, 0:byp, :] + d0

@@ -49,6 +49,7 @@ from ..solvers.vcycle import MGLevel, VCycle
 from ..ops.transfer import make_h_transfer
 from .sharding import (
     GatherTransfer,
+    ShardedFusedChebyshev,
     ShardedLaplaceOperator,
     ShardedTransfer,
     dot_weights_axis0,
@@ -329,6 +330,7 @@ class ShardedGeometricPoisson:
         R = getattr(self, "n_replicated", 0)
         for i, sp in enumerate(self.spaces):
             replicated = i < R
+            fused_stacked = None
             # coarse level: reference-faithful m() = n_dofs eig-CG iterations
             # (source/geometric_multigrid/program.cc:274-279); the coarse
             # space is the replicated 1-cell base mesh, so this stays tiny
@@ -347,11 +349,20 @@ class ShardedGeometricPoisson:
                 )
             else:
                 op_stacked = None
+                fused_stacked = None
                 if variant == "pallas":
                     op_stacked = _build_stacked_pallas(
                         sp, S, dtype,
                         interpret=getattr(self, "pallas_interpret", False),
                     )
+                    if op_stacked is not None and i > 0:
+                        # bf16 MXU twin driving the fused Chebyshev
+                        # recurrence (same production fast path as
+                        # single-chip, see ShardedFusedChebyshev)
+                        fused_stacked = _build_stacked_pallas(
+                            sp, S, dtype, core="mxu",
+                            interpret=getattr(self, "pallas_interpret", False),
+                        )
                 if op_stacked is None:
                     op_stacked = _build_stacked_operator(
                         sp, S, dtype,
@@ -380,13 +391,26 @@ class ShardedGeometricPoisson:
                 alpha, beta, deg = chebyshev_bounds(mn, mx, 1e-3, None)
             else:
                 alpha, beta, deg = chebyshev_bounds(mn, mx, 15.0, 5)
-            smoother = Chebyshev(
-                degree=deg,
-                op=None,  # wired to the (sharded/replicated) op in shard_map
-                inv_diag=None,  # derived from the operator's 1D factors
-                theta=_tile(np.full((), (beta + alpha) / 2.0), S, dtype),
-                delta=_tile(np.full((), (beta - alpha) / 2.0), S, dtype),
-            )
+            if fused_stacked is not None:
+                # production fast path under shard_map: fused residual +
+                # recurrence kernels with halo'd plane-0 corrections
+                smoother = ShardedFusedChebyshev(
+                    axis_name=AXIS,
+                    n_shards=S,
+                    degree=deg,
+                    op=None,  # wired to the level ShardedPallasLaplace
+                    op_smooth=fused_stacked,
+                    theta=_tile(np.full((), (beta + alpha) / 2.0), S, dtype),
+                    delta=_tile(np.full((), (beta - alpha) / 2.0), S, dtype),
+                )
+            else:
+                smoother = Chebyshev(
+                    degree=deg,
+                    op=None,  # wired to the (sharded/replicated) op in shard_map
+                    inv_diag=None,  # derived from the operator's 1D factors
+                    theta=_tile(np.full((), (beta + alpha) / 2.0), S, dtype),
+                    delta=_tile(np.full((), (beta - alpha) / 2.0), S, dtype),
+                )
             if i == 0:
                 transfer = None
             elif i < R:
@@ -441,13 +465,16 @@ class ShardedGeometricPoisson:
                     axis_name=AXIS, n_shards=S, local=op_loc
                 )
             sm_st = lvl.smoother
-            sm = Chebyshev(
-                degree=sm_st.degree,
-                op=op_w,
-                inv_diag=None,  # op_w.inv_diag, formed from local 1D factors
-                theta=sm_st.theta[0],
-                delta=sm_st.delta[0],
-            )
+            if isinstance(sm_st, ShardedFusedChebyshev):
+                sm = dataclasses.replace(_unstack(sm_st), op=op_w)
+            else:
+                sm = Chebyshev(
+                    degree=sm_st.degree,
+                    op=op_w,
+                    inv_diag=None,  # op_w.inv_diag from local 1D factors
+                    theta=sm_st.theta[0],
+                    delta=sm_st.delta[0],
+                )
             if lvl.transfer is None:
                 tr = None
             elif i <= R and R > 0:

@@ -237,6 +237,164 @@ class ShardedPallasLaplace:
 
 
 @pytree_dataclass
+class ShardedFusedChebyshev:
+    """Halo-aware fused Chebyshev smoothing on slab-sharded pallas levels.
+
+    Runs the SAME fused kernels as the single-chip production smoother
+    (exact banded residual half-step, bf16 MXU recurrence core), on
+    per-shard TRIMMED state (duplicate-free: shard s owns planes
+    [s·L, (s+1)·L)).  Each kernel launch takes the x-FULL input (state plus
+    the right neighbour's first plane, ONE 1-plane ppermute) and computes
+    slab-local partial sums; the only globally incomplete entries are plane
+    0 (missing the left neighbour's cell contributions), corrected by a thin
+    XLA contraction of the sender's last p+1 planes ppermuted right and a
+    one-plane linear fix-up of (r, d, x) — exact because the recurrence
+    updates are linear in the residual.  Reference parity: one hot kernel
+    for serial and MPI runs
+    (include/operators/portable_laplace_operator.h:557-719).
+
+    Public surface is full-slab IO (smooth / apply / residual), so the
+    sharded V-cycle composition is unchanged.
+    """
+
+    axis_name: str = static_field()
+    n_shards: int = static_field()
+    degree: int = static_field()
+    op: object = None  # exact ShardedPallasLaplace (residuals, thin rows)
+    op_smooth: object = None  # mxu-core ShardedPallasLaplace (recurrence)
+    theta: jnp.ndarray = None
+    delta: jnp.ndarray = None
+
+    # --- representation helpers ------------------------------------------
+    @property
+    def _dims(self):
+        loc = self.op.local
+        p = loc.degree
+        g = loc.grid_shape
+        return g, g[0] - 1, g[1] - 1, loc.n[2] * p
+
+    def _ext_from_right(self, t):
+        """Append plane L = right neighbour's plane 0 (zeros at the last
+        shard: the global Dirichlet face, identically zero state)."""
+        if self.n_shards == 1:
+            plane = jnp.zeros_like(t[:1])
+        else:
+            bwd = [(i + 1, i) for i in range(self.n_shards - 1)]
+            plane = jax.lax.ppermute(t[:1], self.axis_name, bwd)
+        return jnp.concatenate([t, plane], axis=0)
+
+    def _send_right(self, plane):
+        if self.n_shards == 1:
+            return jnp.zeros_like(plane)
+        fwd = [(i, i + 1) for i in range(self.n_shards - 1)]
+        return jax.lax.ppermute(plane, self.axis_name, fwd)
+
+    def _thin(self, u_ext):
+        """Raw partial (masked) contribution of OUR cells to plane L of
+        M A M u — the row the trimmed kernel output drops (cf.
+        ShardedPallasLaplace.apply's thin completion, on trimmed y/z)."""
+        sp_op = self.op
+        loc = sp_op.local
+        p = loc.degree
+        _, L, N1m, Z = self._dims
+        win = u_ext[-(p + 1):] * loc.mask1[0][-(p + 1):].reshape(-1, 1, 1)
+        win = win * loc.mask1[1][:N1m].reshape(1, -1, 1)
+        win = win * loc.mask1[2][:Z].reshape(1, 1, -1)
+        hi = jax.lax.Precision.HIGHEST
+        K1m = sp_op.K1m[:N1m, :N1m]
+        M1m = sp_op.M1m[:N1m, :N1m]
+        K1z = sp_op.K1m[:Z, :Z]
+        M1z = sp_op.M1m[:Z, :Z]
+
+        def ctr(t, W, ax):
+            return jnp.moveaxis(
+                jnp.tensordot(t, W, axes=((ax,), (1,)), precision=hi), -1, ax
+            )
+
+        b = ctr(win, M1z, 2)
+        a = ctr(win, K1z, 2)
+        mb = ctr(b, M1m, 1)
+        kb = ctr(b, K1m, 1)
+        ma = ctr(a, M1m, 1)
+        last = jnp.tensordot(sp_op.thin_kx, mb, axes=(0, 0), precision=hi)
+        return last + jnp.tensordot(
+            sp_op.thin_mx, kb + ma, axes=(0, 0), precision=hi
+        )
+
+    def _diag_trimmed(self):
+        loc = self.op.local
+        _, L, N1m, Z = self._dims
+        xK = loc.dK1[0][:L].reshape(-1, 1, 1)
+        xM = loc.dM1[0][:L].reshape(-1, 1, 1)
+        yK = loc.dK1[1][:N1m].reshape(1, -1, 1)
+        yM = loc.dM1[1][:N1m].reshape(1, -1, 1)
+        zK = loc.dK1[2][:Z].reshape(1, 1, -1)
+        zM = loc.dM1[2][:Z].reshape(1, 1, -1)
+        return xK * yM * zM + xM * (yK * zM + yM * zK)
+
+    def _inv_diag_row0(self):
+        return 1.0 / self._diag_trimmed()[:1]
+
+    def _trim(self, t):
+        g, L, N1m, Z = self._dims
+        return t.reshape(g)[:L, :N1m, :Z]
+
+    def _ext_x(self, t):
+        g, L, N1m, Z = self._dims
+        return t.reshape(g)[:, :N1m, :Z]
+
+    def _to_full(self, x):
+        """Trimmed per-shard state -> full consistent slab (duplicated
+        plane restored by one ppermute, Dirichlet planes re-padded)."""
+        return jnp.pad(self._ext_from_right(x), ((0, 0), (0, 1), (0, 1)))
+
+    # --- the smoother ------------------------------------------------------
+    def _steps(self, r, d, x):
+        sigma1 = self.theta / self.delta
+        rho = 1.0 / sigma1
+        idg0 = self._inv_diag_row0()
+        loc = self.op_smooth.local
+        for _ in range(self.degree - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            c1 = 2.0 * rho_new / self.delta
+            scal = jnp.stack([rho_new * rho, c1]).astype(jnp.float32)
+            d_ext = self._ext_from_right(d)
+            rn, dn, xn = loc._run("chebf", d_ext, (r, x), scal)
+            delta = self._send_right(self._thin(d_ext))[None]
+            corr = (c1 * idg0) * delta
+            r = rn.at[:1].add(-delta)
+            d = dn.at[:1].add(-corr)
+            x = xn.at[:1].add(-corr)
+            rho = rho_new
+        return x
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Preconditioner vmult with x0 = 0 on a masked full slab."""
+        bt = self._trim(b)
+        d0 = bt / (self.theta * self._diag_trimmed())
+        return self._to_full(self._steps(bt, d0, d0))
+
+    def smooth(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+        u_ext = self._ext_x(u)
+        rhs_t = self._trim(rhs)
+        scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
+        r0, d0, x0 = self.op.local._run("residual3f", u_ext, (rhs_t,), scal)
+        delta = self._send_right(self._thin(u_ext))[None]
+        corr = (self._inv_diag_row0() / self.theta) * delta
+        r0 = r0.at[:1].add(-delta)
+        d0 = d0.at[:1].add(-corr)
+        x0 = x0.at[:1].add(-corr)
+        return self._to_full(self._steps(r0, d0, x0))
+
+    def residual(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+        u_ext = self._ext_x(u)
+        rhs_t = self._trim(rhs)
+        (r0,) = self.op.local._run("residual1f", u_ext, (rhs_t,))
+        delta = self._send_right(self._thin(u_ext))[None]
+        return self._to_full(r0.at[:1].add(-delta))
+
+
+@pytree_dataclass
 class GatherTransfer:
     """Boundary transfer between a slab-SHARDED fine level and a REPLICATED
     coarse level.

@@ -274,3 +274,87 @@ def test_sharded_eigenvalue_setup_matches_twin():
     scale = np.abs(np.asarray(x_b)).max()
     np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b),
                                atol=1e-10 * scale)
+
+
+def test_sharded_fused_smoother_matches_single_chip():
+    """ShardedFusedChebyshev (halo-aware fused kernels + plane-0
+    corrections) reproduces the single-chip FusedChebyshev smoother to
+    roundoff on every surface (apply / smooth / residual) — the production
+    fast path is ONE program serial and distributed."""
+    import dataclasses
+
+    from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+    from portable_multigrid_tpu.parallel.poisson import _build_stacked_pallas
+    from portable_multigrid_tpu.parallel.sharding import ShardedFusedChebyshev
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    dim, p, r, n_dev = 3, 4, 3, 4
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    n = sp.mesh.cells_per_axis
+    exact1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True)
+    mxu1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True,
+                               core="mxu")
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    fused1 = FusedChebyshev(degree=5, op=exact1, op_smooth=mxu1,
+                            theta=theta, delta=delta)
+
+    rng = np.random.default_rng(3)
+    m = np.asarray(exact1.mask)
+    b = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+    u = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+
+    op_st = _build_stacked_pallas(sp, n_dev, jnp.float32, interpret=True)
+    mxu_st = _build_stacked_pallas(sp, n_dev, jnp.float32, core="mxu",
+                                   interpret=True)
+    assert op_st is not None and mxu_st is not None
+    b_st = jnp.asarray(partition_axis0(b, n, p, n_dev))
+    u_st = jnp.asarray(partition_axis0(u, n, p, n_dev))
+
+    # exact banded recurrence core: f32-roundoff parity.  The bf16 MXU core
+    # rounds per BLOCK, and the slab kernel's block partition necessarily
+    # differs from the single-chip one, so mxu surfaces agree only to bf16
+    # grade — the convergence-count gate for that path is
+    # test_sharded_pallas_solve_matches_single_device.
+    for core_st, tol in ((op_st, 2e-5), (mxu_st, 3e-3)):
+        sm_st = ShardedFusedChebyshev(
+            axis_name=AXIS, n_shards=n_dev, degree=5,
+            op=op_st, op_smooth=core_st,
+            theta=jnp.broadcast_to(theta, (n_dev,)),
+            delta=jnp.broadcast_to(delta, (n_dev,)),
+        )
+        sm1 = dataclasses.replace(
+            fused1, op_smooth=exact1 if core_st is op_st else mxu1
+        )
+
+        def f(sm_stacked, u_stacked, b_stacked):
+            sm = _unstack(sm_stacked)
+            return (sm.apply(b_stacked[0])[None],
+                    sm.smooth(u_stacked[0], b_stacked[0])[None],
+                    sm.residual(u_stacked[0], b_stacked[0])[None])
+
+        za_st, sa_st, ra_st = jax.jit(
+            jax.shard_map(
+                f, mesh=_mesh(n_dev),
+                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS),) * 3,
+                check_vma=False,
+            )
+        )(sm_st, u_st, b_st)
+
+        for got_st, want in (
+            (za_st, sm1.apply(b)),
+            (sa_st, sm1.smooth(u, b)),
+            (ra_st, sm1.residual(u, b)),
+        ):
+            want = np.asarray(want)
+            got = unpartition_axis0(np.asarray(got_st), n, p, n_dev)
+            np.testing.assert_allclose(
+                got, want, atol=tol * np.abs(want).max()
+            )
+            # duplicated planes stay consistent
+            for s in range(n_dev - 1):
+                np.testing.assert_allclose(
+                    np.asarray(got_st)[s][-1], np.asarray(got_st)[s + 1][0],
+                    atol=1e-6 * np.abs(want).max(),
+                )
