@@ -61,9 +61,28 @@ def main():
 
     smoother_core = os.environ.get("PMG_BENCH_SMOOTHER_CORE", "mxu")
 
+    # PMG_BENCH_RESID_BLOCK: override the BANDED (residual/CG) kernel's
+    # block edge (e.g. 8 while the mxu recurrence core stays at 16) —
+    # Mosaic-crash fallback knob for the trimmed modes
+    resid_block = os.environ.get("PMG_BENCH_RESID_BLOCK")
+
     def build_op(sp, core="banded"):
         if variant == "auto":
-            return make_laplace_auto(sp, dtype, precision=precision, core=core)
+            from portable_multigrid_tpu.ops.pallas_laplace import (
+                PallasLaplaceOperator,
+                make_pallas_laplace,
+                pallas_eligible,
+            )
+
+            op = make_laplace_auto(sp, dtype, precision=precision, core=core)
+            if (core == "banded" and resid_block
+                    and isinstance(op, PallasLaplaceOperator)):
+                rb = int(resid_block)
+                if pallas_eligible(sp, rb, rb):
+                    op = make_pallas_laplace(
+                        sp, dtype, bx=rb, by=rb, core="banded"
+                    )
+            return op
         return make_laplace(sp, dtype, variant=variant, precision=precision)
 
     # --- operator apply benchmark -----------------------------------------
@@ -84,9 +103,34 @@ def main():
     # level pairs run the fused pallas transfer kernels
     trimmed = os.environ.get("PMG_BENCH_TRIMMED", "1") == "1"
     use_pallas_tr = os.environ.get("PMG_BENCH_PALLAS_TRANSFER", "1") == "1"
+    use_mega = os.environ.get("PMG_BENCH_MEGA_COARSE", "0") == "1"
     levels = []
     prev_trimmed = False
-    for i, sp in enumerate(spaces):
+    cut = 0
+    if use_mega and variant == "auto" and trimmed:
+        # collapse the launch-bound sub-hierarchy below the first
+        # pallas-eligible level into ONE VMEM-resident kernel
+        from portable_multigrid_tpu.ops.pallas_coarse import (
+            CoarseCycleSmoother,
+            make_coarse_cycle,
+        )
+        from portable_multigrid_tpu.ops.pallas_laplace import pallas_eligible
+
+        cut = next(
+            (i for i, sp in enumerate(spaces)
+             if pallas_eligible(sp) or pallas_eligible(sp, 16, 16)),
+            0,
+        )
+        if cut >= 2:
+            kern = make_coarse_cycle(spaces[:cut], dtype)
+            levels.append(MGLevel(
+                op=None, smoother=CoarseCycleSmoother(kern=kern),
+                transfer=None,
+            ))
+            prev_trimmed = True
+        else:
+            cut = 0
+    for i, sp in list(enumerate(spaces))[cut:]:
         lop = build_op(sp)
         # bf16-grade MXU kernel inside the (fully kernel-fused) Chebyshev
         # recurrence only — the exact banded kernel keeps residuals/CG

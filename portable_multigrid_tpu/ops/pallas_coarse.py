@@ -84,9 +84,11 @@ class CoarseCycleKernel:
             if axis == 0:
                 return jax.lax.dot_general(
                     W, t, (((1,), (0,)), ((), ())), precision=hi)
+            # axis 1: batched over x rows — Mosaic dislikes in-kernel 3D
+            # transposes, so broadcast W and use a batched dot
+            W3 = jnp.broadcast_to(W[None], (t.shape[0],) + W.shape)
             return jax.lax.dot_general(
-                W, t, (((1,), (1,)), ((), ())), precision=hi
-            ).transpose(1, 0, 2)
+                W3, t, (((2,), (1,)), ((0,), (0,))), precision=hi)
 
         def ctrT(t, W, axis):
             """out[..., j, ...] = sum_k W[k, j] t[..., k, ...] — contraction
@@ -97,9 +99,9 @@ class CoarseCycleKernel:
             if axis == 0:
                 return jax.lax.dot_general(
                     W, t, (((0,), (0,)), ((), ())), precision=hi)
+            W3 = jnp.broadcast_to(W[None], (t.shape[0],) + W.shape)
             return jax.lax.dot_general(
-                W, t, (((0,), (1,)), ((), ())), precision=hi
-            ).transpose(1, 0, 2)
+                W3, t, (((1,), (1,)), ((0,), (0,))), precision=hi)
 
         def kernel(src_r, *refs):
             K_r = refs[:L]

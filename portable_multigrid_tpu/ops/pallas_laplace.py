@@ -841,18 +841,25 @@ def make_laplace_auto(
 
     Block-size choice: with in-kernel double-buffered input DMA, 16x16
     blocks win both isolated and composed benchmarks (mxu core: 0.51 ms vs
-    1.26 ms at 8x8 on r=6 Q4); 8x8 remains the fallback for small grids."""
+    1.26 ms at 8x8 on r=6 Q4); 8x8 remains the fallback for small grids.
+    Above 256 lanes 16x16 crashes the Mosaic compiler (round-2 finding);
+    round-3 measurements: the asymmetric 16x8 block compiles there and wins
+    for the MXU family (r=7 mxu apply 7.27 ms vs 7.9) while the banded
+    core is fastest at 8x8 (11.7 vs 12.6 at 16x8), so the candidate list is
+    core-dependent."""
     if dtype == jnp.float32:
-        for b in (16, 8):
-            # 16x16 blocks with >256 lanes crash the Mosaic compiler
-            # (observed for both the banded roll chains and the fused
-            # Chebyshev program); cap the block size there
-            if b == 16 and space.mesh.cells_per_axis * space.degree > 256:
-                continue
-            if pallas_eligible(space, b, b):
-                X = Y = b * space.degree + 1
-                Z = space.mesh.cells_per_axis * space.degree
-                nbj = space.mesh.cells_per_axis // b
+        lanes = space.mesh.cells_per_axis * space.degree
+        if lanes <= 256:
+            cands = ((16, 16), (8, 8))
+        elif core == "banded":
+            cands = ((8, 8),)
+        else:
+            cands = ((16, 8), (8, 8))
+        for bx, by in cands:
+            if pallas_eligible(space, bx, by):
+                X, Y = bx * space.degree + 1, by * space.degree + 1
+                Z = lanes
+                nbj = space.mesh.cells_per_axis // by
                 est = 4 * (
                     2 * X * (Y + 7) * Z  # input slabs
                     + 2 * (X - 1) * (Y - 1) * Z  # output slabs
@@ -866,6 +873,6 @@ def make_laplace_auto(
                 )
                 if est < 110 * 1024 * 1024:
                     return make_pallas_laplace(
-                        space, dtype, bx=b, by=b, core=core
+                        space, dtype, bx=bx, by=by, core=core
                     )
     return make_laplace(space, dtype, variant="kron", precision=precision)

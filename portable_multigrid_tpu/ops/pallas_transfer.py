@@ -137,11 +137,14 @@ class PallasTransfer:
                 return jax.lax.dot_general(
                     w, a, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-        else:  # axis == 1: batch over axis 0
+        else:  # axis == 1: batched over axis 0 — Mosaic dislikes 3D
+            # transposes in-kernel, so broadcast W across the x rows and use
+            # a batched dot (the operator kernel's dy pattern)
             def d(a, w):
+                w3 = jnp.broadcast_to(w[None], (a.shape[0],) + w.shape)
                 return jax.lax.dot_general(
-                    w, a, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32).transpose(1, 0, 2)
+                    w3, a, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
 
         return d(hi, w_hi) + d(lo, w_hi) + d(hi, w_lo)
 
