@@ -152,10 +152,18 @@ def main():
                 eig_cg_n_iterations=sp.n_dofs,
             )
         else:
+            resid3 = None
+            if trimmed and fused is not None:
+                from portable_multigrid_tpu.ops.pallas_laplace import (
+                    make_resid3_twin,
+                )
+
+                resid3 = make_resid3_twin(sp, lop, dtype)
             sm = make_chebyshev(
                 lop, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
                 fused_smoother_op=fused,
                 trimmed_io=trimmed and fused is not None,
+                resid3_op=resid3,
             )
         cur_trimmed = bool(getattr(sm, "trimmed_io", False))
         tr = None

@@ -77,12 +77,18 @@ def _build_level(
             eig_cg_n_iterations=space.n_dofs,
         )
     else:
+        resid3 = None
+        if fused is not None:
+            from ..ops.pallas_laplace import make_resid3_twin
+
+            resid3 = make_resid3_twin(space, op, dtype)
         smoother = make_chebyshev(
             op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
             fused_smoother_op=fused,
             # fused levels run the trimmed kernel-chained pipeline (state
             # pads/trims only at representation boundaries — wire_trimmed)
             trimmed_io=fused is not None,
+            resid3_op=resid3,
         )
     return op, smoother
 

@@ -53,10 +53,13 @@ class CoarseCycleKernel:
     the V-cycle coarse-solver surface (``apply``) on the TOP level, trimmed.
     """
 
-    shapes: tuple = static_field()  # per-level full grid extent N_l
+    shapes: tuple = static_field()  # per-level TRIMMED grid extent N_l - 1
     degrees: tuple = static_field()  # Chebyshev degree per level
     pre: int = static_field(default=2)
     post: int = static_field(default=2)
+    # in-kernel dot precision: "highest" (f32-faithful multi-pass) is the
+    # production grade; "default" exists for Mosaic-crash bisection
+    precision: str = static_field(default="highest")
     interpret: bool = static_field(default=False)
     K1m: tuple = None  # per-level [N, N] mask-folded assembled 1D stiffness
     M1m: tuple = None
@@ -74,7 +77,8 @@ class CoarseCycleKernel:
         L = self.n_levels
         Nt = self.shapes[-1]
         dtype = src.dtype
-        hi = jax.lax.Precision.HIGHEST
+        hi = (jax.lax.Precision.HIGHEST if self.precision == "highest"
+              else jax.lax.Precision.DEFAULT)
 
         def ctr(t, W, axis):
             """out[..., i, ...] = sum_k W[i, k] t[..., k, ...]."""
@@ -171,9 +175,11 @@ class CoarseCycleKernel:
                     u = u + cheb(l, src - apply_op(l, u))
                 return u
 
-            src_full = jnp.pad(src_r[...], ((0, 1),) * 3)
-            out = cycle(L - 1, src_full)
-            out_r[...] = out[: Nt - 1, : Nt - 1, : Nt - 1]
+            # everything runs TRIMMED in-kernel: the global last planes are
+            # Dirichlet (masked rows/cols of every matrix are zero), so
+            # dropping them is exact — and it avoids in-kernel pads (no
+            # Mosaic pad op) and keeps every extent a power of two
+            out_r[...] = cycle(L - 1, src_r[...])
 
         operands = (list(self.K1m) + list(self.M1m) + list(self.inv_diag3)
                     + list(self.mask3) + list(self.P1) + [self.scal])
@@ -183,7 +189,7 @@ class CoarseCycleKernel:
             * len(operands)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Nt - 1,) * 3, dtype),
+            out_shape=jax.ShapeDtypeStruct((Nt,) * 3, dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024,
             ),
@@ -229,11 +235,15 @@ def make_coarse_cycle(
             raise ValueError("coarse mega-kernel is 3D-only")
         K1, M1 = assembled_1d_matrices(sp)
         m1 = sp.free_mask_1d()
-        K1m.append(jnp.asarray(m1[:, None] * K1 * m1[None, :], dtype))
-        M1m.append(jnp.asarray(m1[:, None] * M1 * m1[None, :], dtype))
+        # TRIMMED operands (global last planes are Dirichlet: masked matrix
+        # rows/cols are zero, so the slice is exact)
+        K1m.append(jnp.asarray((m1[:, None] * K1 * m1[None, :])[:-1, :-1],
+                               dtype))
+        M1m.append(jnp.asarray((m1[:, None] * M1 * m1[None, :])[:-1, :-1],
+                               dtype))
         op = make_laplace(sp, dtype, variant="kron")
-        idg3.append(jnp.asarray(op.inv_diag, dtype))
-        msk3.append(jnp.asarray(op.mask, dtype))
+        idg3.append(jnp.asarray(op.inv_diag[:-1, :-1, :-1], dtype))
+        msk3.append(jnp.asarray(op.mask[:-1, :-1, :-1], dtype))
         if l == 0:
             sm = make_chebyshev(
                 op, smoothing_range=1e-3, degree=None,
@@ -256,9 +266,9 @@ def make_coarse_cycle(
             w = _weights_1d(c.mesh.cells_per_axis, 2 * p) * sp.free_mask_1d()
             P = _axis_matrix_1d(M1p, c.mesh.cells_per_axis, p, 2 * p, w,
                                 c.free_mask_1d())
-            P1.append(jnp.asarray(P, dtype))
+            P1.append(jnp.asarray(P[:-1, :-1], dtype))
     return CoarseCycleKernel(
-        shapes=tuple(sp.grid_shape[0] for sp in spaces),
+        shapes=tuple(sp.grid_shape[0] - 1 for sp in spaces),
         degrees=tuple(degrees),
         interpret=interpret,
         K1m=tuple(K1m),

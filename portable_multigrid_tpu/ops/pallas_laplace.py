@@ -88,6 +88,8 @@ class PallasLaplaceOperator:
     # (reference parity: one hot kernel for serial and MPI runs,
     # include/operators/portable_laplace_operator.h:557-719)
     xmask: str = static_field(default="iota")
+    # y-axis analog, for 2D pencil decompositions (mask1[1] per-shard slice)
+    ymask: str = static_field(default="iota")
     bands: tuple = None  # (Kzb, Mzb, Kxb, Mxb, Kyb, Myb)
     dense_mats: tuple = None  # (Kz, Mz, Kx, Mx, KyB, MyB) bf16 ("mxu" core)
     # separable mask/diagonal factors (see LaplaceOperator: O(N) storage so
@@ -208,6 +210,8 @@ class PallasLaplaceOperator:
                   "residual3f": 3, "residual1f": 1}[mode]
         xmask_vec = self.xmask == "vector"
         n_xm = 1 if xmask_vec else 0
+        ymask_vec = self.ymask == "vector"
+        n_ym = 1 if ymask_vec else 0
 
         def kernel(u_hbm, *refs):
             mat_refs = refs[:n_mats]
@@ -216,6 +220,8 @@ class PallasLaplaceOperator:
             pos += n_facs
             xm_r = refs[pos] if xmask_vec else None
             pos += n_xm
+            ym_r = refs[pos] if ymask_vec else None
+            pos += n_ym
             scal_r = refs[pos] if n_scal else None
             pos += n_scal
             bin_refs = refs[pos: pos + n_bins]
@@ -287,15 +293,28 @@ class PallasLaplaceOperator:
                             (1, byp + 8, Z), dtype
                         )
 
-                @pl.when(jj < nbj - 1)
-                def _():
+                if ymask_vec:
+                    # pencil slabs: the last y-block's window row byp is the
+                    # DUPLICATED interior plane — always fetch the tail (the
+                    # wrapper pads the input y extent by 7 rows so the 8-row
+                    # aligned read stays in bounds)
                     on_rows(
                         ii, lambda rows: in_tail(slot, ii, jj, rows).start()
                     )
+                else:
 
-                @pl.when(jj == nbj - 1)
-                def _():
-                    slab[slot, :, byp: byp + 8, :] = jnp.zeros((X, 8, Z), dtype)
+                    @pl.when(jj < nbj - 1)
+                    def _():
+                        on_rows(
+                            ii,
+                            lambda rows: in_tail(slot, ii, jj, rows).start(),
+                        )
+
+                    @pl.when(jj == nbj - 1)
+                    def _():
+                        slab[slot, :, byp: byp + 8, :] = jnp.zeros(
+                            (X, 8, Z), dtype
+                        )
 
             @pl.when(k == 0)
             def _():
@@ -310,9 +329,13 @@ class PallasLaplaceOperator:
 
             on_rows(i, lambda rows: in_main(islot, i, j, rows).wait())
 
-            @pl.when(j < nbj - 1)
-            def _():
+            if ymask_vec:
                 on_rows(i, lambda rows: in_tail(islot, i, j, rows).wait())
+            else:
+
+                @pl.when(j < nbj - 1)
+                def _():
+                    on_rows(i, lambda rows: in_tail(islot, i, j, rows).wait())
 
             yi = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
             if xmask_vec:
@@ -323,10 +346,13 @@ class PallasLaplaceOperator:
                     jnp.logical_or(i > 0, xi > 0),
                     jnp.logical_or(i < nbi - 1, xi < X - 1),
                 ).astype(dtype)
-            mvy = jnp.logical_and(
-                jnp.logical_or(j > 0, yi > 0),
-                jnp.logical_or(j < nbj - 1, yi < Y - 1),
-            ).astype(dtype)
+            if ymask_vec:
+                mvy = ym_r[:, pl.ds(j * byp, Y), :]
+            else:
+                mvy = jnp.logical_and(
+                    jnp.logical_or(j > 0, yi > 0),
+                    jnp.logical_or(j < nbj - 1, yi < Y - 1),
+                ).astype(dtype)
 
             um = slab[islot, :, :Y, :] * mvx * mvy
 
@@ -579,6 +605,9 @@ class PallasLaplaceOperator:
         if xmask_vec:
             operands.append(self.mask1[0].reshape(-1, 1, 1))
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if ymask_vec:
+            operands.append(self.mask1[1].reshape(1, -1, 1))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         if n_scal:
             operands.append(jnp.asarray(scal, jnp.float32).reshape(1, 2))
             in_specs.append(
@@ -734,6 +763,24 @@ def _dense_mats_for_core(core, Kzm, Mzm, Kxl, Mxl, Kyl, Myl, X, p, dtype):
     ) + his + los
 
 
+def make_resid3_twin(space: FESpace, op, dtype=jnp.float32):
+    """Smaller-block banded twin for the residual3t kernel.
+
+    Mosaic cannot compile the banded core with 3 blocked outputs at 16x16
+    blocks / >=256 lanes (r3 batch-2 bisection); apply/residual1t stay on
+    the 16x16 operator and smooth() routes its residual half-step through
+    this twin.  Returns None when ``op`` needs no twin."""
+    if not isinstance(op, PallasLaplaceOperator) or op.core != "banded":
+        return None
+    if (op.bx, op.by) != (16, 16):
+        return None  # smaller blocks compile residual3t fine
+    if space.mesh.cells_per_axis * space.degree < 256:
+        return None  # 16x16 residual3t compiles below 256 lanes (entry r=5)
+    if pallas_eligible(space, 8, 8):
+        return make_pallas_laplace(space, dtype, bx=8, by=8, core="banded")
+    return None
+
+
 def slab_pallas_eligible(
     space: FESpace, n_loc: int, bx: int = 8, by: int = 8
 ) -> bool:
@@ -819,6 +866,92 @@ def make_pallas_slab(
         interpret=interpret,
         core=core,
         xmask="vector",
+        bands=tuple(jnp.asarray(v, dtype) for v in bands)
+        if core == "banded" else None,
+        dense_mats=dense_mats,
+        mask1=(m1j, m1j, m1j),
+        dK1=(gKj, gKj, gKj),
+        dM1=(gMj, gMj, gMj),
+    )
+
+
+def make_pallas_slab2d(
+    space: FESpace,
+    n_loc_x: int,
+    n_loc_y: int,
+    dtype=jnp.float32,
+    bx: int = 8,
+    by: int = 8,
+    core: str = "banded",
+    interpret: bool = False,
+) -> PallasLaplaceOperator:
+    """Pencil slab operator for 2D device meshes: n_loc_x x n_loc_y cells,
+    full z.  BOTH x and y masking run in "vector" mode (per-shard mask
+    slices keep interior pencil boundaries unmasked); x/y block matrices are
+    PARTIAL local assemblies, so the kernel emits raw partial boundary
+    planes on both sharded axes for the 2D halo exchange
+    (parallel/mesh2d.py:ShardedPallas2DLaplace).  The caller replaces
+    mask1/dK1/dM1 axis-0 AND axis-1 entries with per-shard slices."""
+    p = space.degree
+    n = space.mesh.cells_per_axis
+    eligible = (
+        space.dim == 3
+        and (n * p) % 128 == 0
+        and n_loc_x % bx == 0
+        and n_loc_y % by == 0
+        and (bx * p) % 8 == 0
+        and (by * p) % 8 == 0
+    )
+    if not (interpret or eligible):
+        raise ValueError("pencil slab not eligible for the pallas kernel")
+    X, Y, Z = bx * p + 1, by * p + 1, n * p
+    nb = 2 * p + 1
+    K1, M1 = assembled_1d_matrices(space)
+    m1 = space.free_mask_1d()
+
+    b = make_basis(p)
+    W = np.diag(b.q_weights)
+    Kc = (b.D.T @ W @ b.D) / space.mesh.h
+    Mc = (b.B.T @ W @ b.B) * space.mesh.h
+
+    def local_1d(blk):
+        w = blk * p + 1
+        K = np.zeros((w, w))
+        M = np.zeros((w, w))
+        for c in range(blk):
+            sl = slice(c * p, c * p + p + 1)
+            K[sl, sl] += Kc
+            M[sl, sl] += Mc
+        return K, M
+
+    Kzm = (m1[:, None] * K1 * m1[None, :])[:Z, :Z]
+    Mzm = (m1[:, None] * M1 * m1[None, :])[:Z, :Z]
+    Kxl, Mxl = local_1d(bx)
+    Kyl, Myl = local_1d(by)
+    bands = (
+        to_bands(Kzm, p).reshape(nb, 1, 1, Z),
+        to_bands(Mzm, p).reshape(nb, 1, 1, Z),
+        to_bands(Kxl, p).reshape(nb, X, 1, 1),
+        to_bands(Mxl, p).reshape(nb, X, 1, 1),
+        to_bands(Kyl, p).reshape(nb, 1, Y, 1),
+        to_bands(Myl, p).reshape(nb, 1, Y, 1),
+    )
+    dense_mats = _dense_mats_for_core(
+        core, Kzm, Mzm, Kxl, Mxl, Kyl, Myl, X, p, dtype
+    )
+    gK, gM = diagonal_1d_factors(space)
+    m1j = jnp.asarray(m1, dtype)
+    gKj, gMj = jnp.asarray(gK, dtype), jnp.asarray(gM, dtype)
+    return PallasLaplaceOperator(
+        dim=space.dim,
+        degree=p,
+        n=(n_loc_x, n_loc_y, n),
+        bx=bx,
+        by=by,
+        interpret=interpret,
+        core=core,
+        xmask="vector",
+        ymask="vector",
         bands=tuple(jnp.asarray(v, dtype) for v in bands)
         if core == "banded" else None,
         dense_mats=dense_mats,

@@ -154,11 +154,11 @@ class PallasTransfer:
         if restrict:
             out_shape, in_shape = self.shape_c, self.shape_f
             out_w, win_w = self.bc, self.win_r
-            starts_xy, mats = self.r_starts, self.r_mats
+            mats = self.r_mats
         else:
             out_shape, in_shape = self.shape_f, self.shape_c
             out_w, win_w = self.bf, self.win_p
-            starts_xy, mats = self.p_starts, self.p_mats
+            mats = self.p_mats
         nbx = out_shape[0] // out_w
         nby = out_shape[1] // out_w
         Zi, Zo = in_shape[2], out_shape[2]
@@ -166,9 +166,16 @@ class PallasTransfer:
         n_add = 0 if add is None else 1
 
         (Mxh, Mxl, Myh, Myl, Mzh, Mzl) = mats
-        sx, sy = starts_xy
+        # window starts are pure program-id arithmetic (same clamped formula
+        # as the host-side _window_blocks, so the per-block matrices match);
+        # SMEM-sourced DMA starts crash the Mosaic compiler (r3 batch-6)
+        anchor = out_w * 2 if restrict else out_w // 2
 
-        def kernel(src_hbm, sx_r, sy_r, mxh_r, mxl_r, myh_r, myl_r,
+        def start(idx, n_in):
+            s = ((idx * anchor - 8) // 8) * 8
+            return jnp.maximum(0, jnp.minimum(s, n_in - win_w))
+
+        def kernel(src_hbm, mxh_r, mxl_r, myh_r, myl_r,
                    mzh_r, mzl_r, *rest):
             if n_add:
                 add_r = rest[0]
@@ -176,8 +183,8 @@ class PallasTransfer:
             win, sem = rest[n_add + 1:]
             i = pl.program_id(0)
             j = pl.program_id(1)
-            x0 = sx_r[i]
-            y0 = sy_r[j]
+            x0 = start(i, in_shape[0])
+            y0 = start(j, in_shape[1])
             cp = pltpu.make_async_copy(
                 src_hbm.at[pl.ds(x0, win_w), pl.ds(y0, win_w), pl.ds(0, Zi)],
                 win, sem,
@@ -198,8 +205,6 @@ class PallasTransfer:
                                 memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1,) + Mxh.shape[1:], lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + Mxl.shape[1:], lambda i, j: (i, 0, 0),
@@ -211,7 +216,7 @@ class PallasTransfer:
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        operands = [src, sx, sy, Mxh, Mxl, Myh, Myl, Mzh, Mzl]
+        operands = [src, Mxh, Mxl, Myh, Myl, Mzh, Mzl]
         if n_add:
             operands.append(add)
             in_specs.append(out_spec)

@@ -124,6 +124,194 @@ def _tile_tree2(tree, sx, sy):
 
 
 @pytree_dataclass
+class ShardedPallas2DLaplace:
+    """Fused Pallas kernel on a PENCIL-sharded grid (2D device mesh): the
+    slab kernel runs with per-shard x AND y mask vectors (interior pencil
+    boundaries unmasked), emits raw partial planes on both sharded axes,
+    and the dropped last x/y planes are recomputed by thin XLA contractions
+    of the local partial operator (the 2D analog of
+    sharding.ShardedPallasLaplace's completion) before ONE ordered 2D halo
+    exchange — the same single hot kernel for serial, 1D and 2D distributed
+    runs (reference: include/operators/portable_laplace_operator.h:557-719).
+    """
+
+    sx: int = static_field()
+    sy: int = static_field()
+    local: object = None  # PallasLaplaceOperator pencil slab (vector masks)
+    thin_kx: jnp.ndarray = None  # [p+1] last row of the slab-partial K (x)
+    thin_mx: jnp.ndarray = None
+    thin_ky: jnp.ndarray = None
+    thin_my: jnp.ndarray = None
+    Kxm: jnp.ndarray = None  # [N0loc, N0loc] slab-partial x (mask-folded)
+    Mxm: jnp.ndarray = None
+    Kym: jnp.ndarray = None  # [N1loc, N1loc] slab-partial y (mask-folded)
+    Mym: jnp.ndarray = None
+    Kzm: jnp.ndarray = None  # [Z, Z] global masked z
+    Mzm: jnp.ndarray = None
+
+    @property
+    def inv_diag(self):
+        return self.local.inv_diag
+
+    @property
+    def mask(self):
+        return self.local.mask
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        loc = self.local
+        p = loc.degree
+        u = u.reshape(loc.grid_shape)
+        N0, N1 = loc.grid_shape[0], loc.grid_shape[1]
+        Z = loc.n[2] * p
+        # vector-y kernels always fetch the 8-row y tail (the duplicated
+        # plane is interior data): pad the input so the aligned read of the
+        # last block stays in bounds
+        raw = loc._run("apply", jnp.pad(u, ((0, 0), (0, 7), (0, 0))))
+
+        um = (u * loc.mask1[0].reshape(-1, 1, 1)
+              * loc.mask1[1].reshape(1, -1, 1)
+              * loc.mask1[2].reshape(1, 1, -1))
+        hi = jax.lax.Precision.HIGHEST
+
+        def ctr(t, W, ax):
+            return jnp.moveaxis(
+                jnp.tensordot(t, W, axes=((ax,), (1,)), precision=hi), -1, ax
+            )
+
+        def thin(win, tk, tm, Ko, Mo, oax):
+            """Contributions of OUR cells to the dropped plane along axis 0
+            of ``win`` (a (p+1)-window), with the OTHER in-plane axis
+            contracted by the slab-partial (Ko, Mo)."""
+            b = ctr(win, self.Mzm, 2)
+            a = ctr(win, self.Kzm, 2)
+            mb = ctr(b, Mo, oax)
+            kb = ctr(b, Ko, oax)
+            ma = ctr(a, Mo, oax)
+            out = jnp.tensordot(tk, mb, axes=(0, 0), precision=hi)
+            return out + jnp.tensordot(tm, kb + ma, axes=(0, 0), precision=hi)
+
+        # last x-plane (full local y extent, includes the corner line)
+        plane_x = thin(um[-(p + 1):], self.thin_kx, self.thin_mx,
+                       self.Kym, self.Mym, 1)  # [N1, Z']
+        # last y-plane (x extent w/o the last row — the corner lives above)
+        wy = jnp.moveaxis(um[:, -(p + 1):], 1, 0)  # [p+1, N0, Z]
+        plane_y = thin(wy, self.thin_ky, self.thin_my,
+                       self.Kxm, self.Mxm, 1)  # [N0, Z']
+
+        au = jnp.concatenate([raw, plane_y[: N0 - 1, None, :Z]], axis=1)
+        au = jnp.concatenate([au, plane_x[None, :N1, :Z]], axis=0)
+        au = jnp.pad(au, ((0, 0), (0, 0), (0, 1)))
+        au = halo_sum_2d(au, self.sx, self.sy)
+        m = loc.mask
+        return m * au + (1.0 - m) * u
+
+    vmult = apply
+
+
+def _build_stacked_pallas2d(
+    space: FESpace, sx: int, sy: int, dtype, core: str = "banded",
+    interpret: bool = False,
+):
+    """Stacked ShardedPallas2DLaplace for a level, or None if ineligible."""
+    import dataclasses as _dc
+
+    from ..ops.laplace import diagonal_1d_factors
+    from ..ops.pallas_laplace import make_pallas_slab2d
+    from .poisson import _partial_assembled_1d
+    from .sharding import partition_axis0
+
+    if dtype != jnp.float32:
+        return None
+    n, p = space.mesh.cells_per_axis, space.degree
+    if n % sx or n % sy:
+        return None
+    nlx, nly = n // sx, n // sy
+
+    def pick(cells):
+        for b in (16, 8, 4, 2, 1):
+            if b == 16 and n * p > 256:
+                continue
+            if cells % b == 0 and (b * p) % 8 == 0:
+                return b
+        return None
+
+    bx, by = pick(nlx), pick(nly)
+    if bx is None or by is None:
+        return None
+    if not interpret and ((n * p) % 128 != 0):
+        return None
+    base = make_pallas_slab2d(
+        space, nlx, nly, dtype, bx=bx, by=by, core=core, interpret=interpret
+    )
+    m1 = space.free_mask_1d()
+    gK, gM = diagonal_1d_factors(space)
+
+    def part(v, S):
+        return partition_axis0(v, n, p, S)  # [S, N_loc]
+
+    mx = part(m1, sx)
+    my = part(m1, sy)
+
+    def bcast_xy(vx, vy):
+        """[sx,(..)] and [sy,(..)] -> stacked [sx, sy, ...] leaves."""
+        ax = np.broadcast_to(vx[:, None], (sx, sy) + vx.shape[1:])
+        ay = np.broadcast_to(vy[None], (sx, sy) + vy.shape[1:])
+        return ax, ay
+
+    stacked = _tile_tree2(base, sx, sy)
+    mxa, mya = bcast_xy(mx, my)
+    gKxa, gKya = bcast_xy(part(gK, sx), part(gK, sy))
+    gMxa, gMya = bcast_xy(part(gM, sx), part(gM, sy))
+    stacked = _dc.replace(
+        stacked,
+        mask1=(jnp.asarray(mxa, dtype), jnp.asarray(mya, dtype),
+               stacked.mask1[2]),
+        dK1=(jnp.asarray(gKxa, dtype), jnp.asarray(gKya, dtype),
+             stacked.dK1[2]),
+        dM1=(jnp.asarray(gMxa, dtype), jnp.asarray(gMya, dtype),
+             stacked.dM1[2]),
+    )
+    Kpx, Mpx = _partial_assembled_1d(space, nlx)
+    Kpy, Mpy = _partial_assembled_1d(space, nly)
+    from ..ops.laplace import assembled_1d_matrices
+
+    K1, M1 = assembled_1d_matrices(space)
+    # FULL masked global z matrices (the thin windows span the whole z axis)
+    K1m = m1[:, None] * K1 * m1[None, :]
+    M1m = m1[:, None] * M1 * m1[None, :]
+
+    def fold(mat, mvec):
+        # [S, N_loc] mask slices folded into the per-shard partial matrix
+        return mvec[:, :, None] * mat[None] * mvec[:, None, :]
+
+    def stx(a):  # [sx, ...] -> [sx, sy, ...]
+        return np.broadcast_to(a[:, None], (sx, sy) + a.shape[1:])
+
+    def sty(a):  # [sy, ...] -> [sx, sy, ...]
+        return np.broadcast_to(a[None], (sx, sy) + a.shape[1:])
+
+    Kxm_x = stx(fold(Kpx, mx))
+    Mxm_x = stx(fold(Mpx, mx))
+    Kym_y = sty(fold(Kpy, my))
+    Mym_y = sty(fold(Mpy, my))
+    return ShardedPallas2DLaplace(
+        sx=sx,
+        sy=sy,
+        local=stacked,
+        thin_kx=_tile2(Kpx[-1, -(p + 1):], sx, sy, dtype),
+        thin_mx=_tile2(Mpx[-1, -(p + 1):], sx, sy, dtype),
+        thin_ky=_tile2(Kpy[-1, -(p + 1):], sx, sy, dtype),
+        thin_my=_tile2(Mpy[-1, -(p + 1):], sx, sy, dtype),
+        Kxm=jnp.asarray(Kxm_x, dtype),
+        Mxm=jnp.asarray(Mxm_x, dtype),
+        Kym=jnp.asarray(Kym_y, dtype),
+        Mym=jnp.asarray(Mym_y, dtype),
+        Kzm=_tile2(K1m, sx, sy, dtype),
+        Mzm=_tile2(M1m, sx, sy, dtype),
+    )
+
+
+@pytree_dataclass
 class Gather2DTransfer:
     """Boundary transfer between a pencil-SHARDED fine level and a REPLICATED
     coarse level on a 2D device mesh (the 2D analog of
@@ -191,9 +379,11 @@ class Sharded2DGeometricPoisson:
         devices=None,
         dtype=jnp.float64,
         variant: str = "kron",
+        pallas_interpret: bool = False,
     ):
         if dim < 2:
             raise ValueError("2D pencil sharding needs dim >= 2")
+        self.pallas_interpret = pallas_interpret
         sx, sy = mesh_shape
         if devices is None:
             devices = jax.devices()
@@ -275,7 +465,9 @@ class Sharded2DGeometricPoisson:
         n = sp.mesh.cells_per_axis
 
         if replicated:
-            op_plain = make_laplace(sp, dtype, variant=variant)
+            op_plain = make_laplace(
+                sp, dtype, variant="kron" if variant == "pallas" else variant
+            )
             v0 = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
             n_iter = min(sp.n_dofs, 128) if coarse else 10
             mn, mx = estimate_eigenvalues(
@@ -291,6 +483,30 @@ class Sharded2DGeometricPoisson:
             )
             return MGLevel(op=_tile_tree2(op_plain, sx, sy),
                            smoother=smoother, transfer=None)
+        if variant == "pallas":
+            op2d = _build_stacked_pallas2d(
+                sp, sx, sy, dtype, interpret=self.pallas_interpret
+            )
+            if op2d is not None:
+                twin = make_laplace(sp, dtype, variant="kron")
+                v0 = _pseudo_random_grid(sp.grid_shape, dtype) * sp.free_mask()
+                n_iter = sp.n_dofs if coarse else 10
+                mn, mx = estimate_eigenvalues(
+                    twin, None, n_iter, jnp.asarray(v0, dtype)
+                )
+                rng = 1e-3 if coarse else 15.0
+                alpha, beta, deg = chebyshev_bounds(
+                    mn, mx, rng, None if coarse else 5
+                )
+                smoother = Chebyshev(
+                    degree=deg, op=None, inv_diag=None,
+                    theta=_tile2(np.full((), (beta + alpha) / 2.0), sx, sy,
+                                 dtype),
+                    delta=_tile2(np.full((), (beta - alpha) / 2.0), sx, sy,
+                                 dtype),
+                )
+                return MGLevel(op=op2d, smoother=smoother, transfer=None)
+            variant = "kron"  # ineligible level: assembled-Kronecker path
         b = sp.basis
         qm = np.array(1.0)
         for _ in range(dim):
@@ -407,8 +623,8 @@ class Sharded2DGeometricPoisson:
         out = []
         for i, lvl in enumerate(levels_stacked):
             op_loc = _unstack(_unstack(lvl.op))
-            if i < R:
-                op_w = op_loc  # replicated full-grid operator
+            if i < R or isinstance(op_loc, ShardedPallas2DLaplace):
+                op_w = op_loc  # replicated plain op / self-contained wrapper
             else:
                 op_w = Sharded2DLaplace(sx=self.sx, sy=self.sy, local=op_loc)
             sm_st = lvl.smoother

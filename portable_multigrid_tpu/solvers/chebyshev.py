@@ -113,6 +113,12 @@ class FusedChebyshev:
     trimmed_io: bool = static_field(default=False)
     op: object = None
     op_smooth: object = None
+    # optional block-size twin of ``op`` for the 3-output residual3t kernel:
+    # Mosaic cannot compile the banded core with 3 blocked outputs at 16x16
+    # blocks / 256 lanes (r3 batch-2 bisection), while apply/residual1t are
+    # fastest there — so smooth() may route its residual half-step through a
+    # smaller-block twin.  None = use ``op``.
+    op_resid3: object = None
     theta: jnp.ndarray = None
     delta: jnp.ndarray = None
 
@@ -176,7 +182,8 @@ class FusedChebyshev:
         if self.trimmed_io:
             # r0 + d0 + (x0 = u + d0) in ONE kernel; the recurrence then
             # accumulates into u directly — zero XLA passes per smooth
-            r0, d0, x0 = self.op._run("residual3t", u, (rhs,), scal)
+            rop = self.op_resid3 if self.op_resid3 is not None else self.op
+            r0, d0, x0 = rop._run("residual3t", u, (rhs,), scal)
             return self._steps(r0, d0, x0)
         u = u.reshape(self.op.grid_shape)
         r0, d0 = self.op._run(
@@ -259,7 +266,7 @@ def estimate_eigenvalues(
     alphas_dev, betas_dev = run(v0)
     alphas = np.asarray(alphas_dev, dtype=np.float64)
     betas = np.asarray(betas_dev, dtype=np.float64)
-    valid = np.isfinite(alphas) & (alphas != 0)
+    valid = np.isfinite(alphas) & (alphas != 0) & np.isfinite(betas)
     k = int(np.sum(np.cumprod(valid)))  # leading run of valid steps
     if k == 0:
         return 1.0, 1.0
@@ -272,6 +279,10 @@ def estimate_eigenvalues(
     if k > 1:
         T += np.diag(off, 1) + np.diag(off, -1)
     ev = np.linalg.eigvalsh(T)
+    if not (np.isfinite(ev[0]) and np.isfinite(ev[-1]) and ev[-1] > 0):
+        # long low-precision CG runs can break down past convergence;
+        # degenerate estimates fall back to the safe unit interval
+        return 1.0, 1.0
     return float(ev[0]), float(ev[-1])
 
 
@@ -311,6 +322,7 @@ def make_chebyshev(
     free_mask: jnp.ndarray | None = None,
     fused_smoother_op=None,
     trimmed_io: bool = False,
+    resid3_op=None,
 ) -> Chebyshev:
     """Set up the smoother for a level operator (host-side; runs eig-CG on device).
 
@@ -362,7 +374,8 @@ def make_chebyshev(
     if fused_smoother_op is not None:
         return FusedChebyshev(
             degree=deg, op=op, op_smooth=fused_smoother_op,
-            trimmed_io=trimmed_io, theta=theta, delta=delta,
+            op_resid3=resid3_op, trimmed_io=trimmed_io,
+            theta=theta, delta=delta,
         )
     return Chebyshev(
         degree=deg,

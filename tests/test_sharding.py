@@ -358,3 +358,92 @@ def test_sharded_fused_smoother_matches_single_chip():
                     np.asarray(got_st)[s][-1], np.asarray(got_st)[s + 1][0],
                     atol=1e-6 * np.abs(want).max(),
                 )
+
+
+@pytest.mark.parametrize("n_dev", [3, 6])
+def test_extended_arbitrary_shard_counts(n_dev):
+    """Non-power-of-two chip counts (VERDICT r2 #6): the extended-domain
+    padding solves the SAME unit-cube problem on any S — live-region
+    solution matches the single-device solver, O(1) iterations."""
+    from portable_multigrid_tpu.parallel.extended import ExtendedShardedPoisson
+
+    dim, p, r = 3, 2, 3
+    prob = ExtendedShardedPoisson(
+        dim, p, r, devices=jax.devices()[:n_dev], dtype=jnp.float64
+    )
+    x, st = prob.solve(rtol=1e-10)
+    assert st.converged
+    single = GeometricMultigridPoisson(dim, p, r, dtype=jnp.float64)
+    x1, st1 = single.solve(rtol=1e-10)
+    # the extended hierarchy bottoms out at S cells (not 1), so counts are
+    # O(1) but need not be identical
+    assert st.iterations <= st1.iterations + 2
+    assert st.solution_l2_norm == pytest.approx(st1.solution_l2_norm,
+                                                rel=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x1).reshape(x.shape),
+        atol=1e-9 * np.abs(np.asarray(x1)).max(),
+    )
+
+
+def test_2d_pencil_pallas_apply_matches_single_device():
+    """Fused Pallas kernel on a 2D pencil mesh (interpret): raw partial
+    planes on BOTH sharded axes + thin x/y completions + ordered 2D halo
+    reproduce the single-device operator."""
+    from portable_multigrid_tpu.parallel.mesh2d import (
+        _build_stacked_pallas2d,
+        partition_2d,
+        unpartition_2d,
+        AX,
+        AY,
+    )
+
+    dim, p, r, sx, sy = 3, 4, 3, 2, 2
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    n = sp.mesh.cells_per_axis
+    op = make_laplace(sp, jnp.float32)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(sp.grid_shape).astype(np.float32)
+    want = np.asarray(op.apply(u))
+
+    sop = _build_stacked_pallas2d(sp, sx, sy, jnp.float32, interpret=True)
+    assert sop is not None
+    u_st = jnp.asarray(partition_2d(u, n, p, sx, sy))
+    mesh2 = Mesh(np.array(jax.devices()[: sx * sy]).reshape(sx, sy),
+                 (AX, AY))
+
+    def f(sop_st, u_stk):
+        loc = _unstack(_unstack(sop_st))
+        return loc.apply(u_stk[0, 0])[None, None]
+
+    got_st = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh2,
+            in_specs=(P(AX, AY), P(AX, AY)),
+            out_specs=P(AX, AY),
+            check_vma=False,
+        )
+    )(sop, u_st)
+    got = unpartition_2d(np.asarray(got_st), n, p, sx, sy)
+    np.testing.assert_allclose(got, want, atol=2e-5 * np.abs(want).max())
+
+
+def test_2d_pencil_pallas_solve_matches_single_device():
+    """Full 2D-pencil h-MG solve with the pallas variant: exact
+    iteration-count parity with the single-device solver (VERDICT r2 #5)."""
+    from portable_multigrid_tpu.parallel.mesh2d import Sharded2DGeometricPoisson
+
+    prob = Sharded2DGeometricPoisson(
+        3, 4, 3, mesh_shape=(2, 2), dtype=jnp.float32, variant="pallas",
+        pallas_interpret=True,
+    )
+    x, st = prob.solve(rtol=1e-5)
+    single = GeometricMultigridPoisson(3, 4, 3, dtype=jnp.float64)
+    x1, st1 = single.solve(rtol=1e-5)
+    assert st.converged
+    assert st.iterations == st1.iterations
+    scale = np.abs(np.asarray(x1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x, dtype=np.float64), np.asarray(x1),
+        atol=2e-5 * scale,
+    )
