@@ -31,8 +31,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    dim = 3
-    degree = 4
+    dim = int(os.environ.get("PMG_BENCH_DIM", "3"))
+    degree = int(os.environ.get("PMG_BENCH_DEGREE", "4"))
     refinements = int(os.environ.get("PMG_BENCH_REFINEMENTS", "6"))  # 64^3 cells
     variant = os.environ.get("PMG_BENCH_VARIANT", "auto")
     # 'high' (3-pass bf16, ~f32 accuracy) for the V-cycle preconditioner is
@@ -198,7 +198,7 @@ def main():
     vcycle_dofs_per_s = n_dofs / t_vcycle
 
     result = {
-        "metric": "vcycle_dof_throughput_3d_q4",
+        "metric": f"vcycle_dof_throughput_{dim}d_q{degree}",
         "value": vcycle_dofs_per_s,
         "unit": "DoF/s",
         "vs_baseline": vcycle_dofs_per_s / 1.0e9,  # north-star: 1e9 DoF/s/chip

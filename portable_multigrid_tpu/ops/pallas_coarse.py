@@ -53,8 +53,9 @@ class CoarseCycleKernel:
     the V-cycle coarse-solver surface (``apply``) on the TOP level, trimmed.
     """
 
-    shapes: tuple = static_field()  # per-level TRIMMED grid extent N_l - 1
+    shapes: tuple = static_field()  # per-level PADDED in-kernel extent
     degrees: tuple = static_field()  # Chebyshev degree per level
+    top_trim: int = static_field(default=0)  # true trimmed top-level extent
     pre: int = static_field(default=2)
     post: int = static_field(default=2)
     # in-kernel dot precision: "highest" (f32-faithful multi-pass) is the
@@ -66,6 +67,10 @@ class CoarseCycleKernel:
     inv_diag3: tuple = None  # per-level [N, N, N]
     mask3: tuple = None  # per-level [N, N, N]
     P1: tuple = None  # per-PAIR [N_f, N_c] weights+masks-folded prolongation
+    # host-side transposes of P1: restriction contracts with these through
+    # the SAME dot patterns as prolongation — Mosaic crashes on the
+    # transposed-contraction dimension numbers (r3 batch-9)
+    P1T: tuple = None
     scal: jnp.ndarray = None  # [L, 2] (theta, delta) per level
 
     @property
@@ -74,38 +79,62 @@ class CoarseCycleKernel:
 
     def apply(self, src: jnp.ndarray) -> jnp.ndarray:
         """Coarse-solver vmult on the TRIMMED top-level grid."""
+        Nt = self.shapes[-1]
+        top = self.top_trim or Nt
+        if top == Nt:
+            return self._apply_padded(src)
+        # top level below the in-kernel padding floor: convert
+        # representation outside the kernel (tiny XLA pad/slice)
+        pad = Nt - top
+        out = self._apply_padded(jnp.pad(src, ((0, pad),) * 3))
+        return out[:top, :top, :top]
+
+    def _apply_padded(self, src: jnp.ndarray) -> jnp.ndarray:
         L = self.n_levels
         Nt = self.shapes[-1]
         dtype = src.dtype
-        hi = (jax.lax.Precision.HIGHEST if self.precision == "highest"
-              else jax.lax.Precision.DEFAULT)
+        bf16 = jnp.bfloat16
+
+        # hi/lo-split bf16 contractions (~1e-7 relative, the mxu3 scheme) —
+        # f32 dots with non-default precision crash Mosaic for the x
+        # pattern at ANY size (r3 batch-7/8 bisection), while bf16 dots
+        # with f32 accumulation compile; this matches the XLA kron path's
+        # "high" precision grade
+        # interpret mode (CPU) cannot execute bf16 x bf16 dots ("DotThunk"
+        # limitation): run the same bf16-ROUNDED values through f32 dots —
+        # identical products, f32 accumulation either way
+        up = ((lambda v: v.astype(jnp.float32)) if self.interpret
+              else (lambda v: v))
+
+        def hilo3(d, t, w):
+            thi = t.astype(bf16)
+            tlo = (t - thi.astype(jnp.float32)).astype(bf16)
+            whi = w.astype(bf16)
+            wlo = (w - whi.astype(jnp.float32)).astype(bf16)
+            return (d(up(thi), up(whi)) + d(up(tlo), up(whi))
+                    + d(up(thi), up(wlo)))
 
         def ctr(t, W, axis):
             """out[..., i, ...] = sum_k W[i, k] t[..., k, ...]."""
             if axis == 2:
-                return jax.lax.dot_general(
-                    t, W, (((2,), (1,)), ((), ())), precision=hi)
-            if axis == 0:
-                return jax.lax.dot_general(
-                    W, t, (((1,), (0,)), ((), ())), precision=hi)
-            # axis 1: batched over x rows — Mosaic dislikes in-kernel 3D
-            # transposes, so broadcast W and use a batched dot
-            W3 = jnp.broadcast_to(W[None], (t.shape[0],) + W.shape)
-            return jax.lax.dot_general(
-                W3, t, (((2,), (1,)), ((0,), (0,))), precision=hi)
+                def d(a, w):
+                    return jax.lax.dot_general(
+                        a, w, (((2,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            elif axis == 0:
+                def d(a, w):
+                    return jax.lax.dot_general(
+                        w, a, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            else:
+                # axis 1: batched over x rows (no 3D transposes in Mosaic)
+                def d(a, w):
+                    w3 = jnp.broadcast_to(w[None], (a.shape[0],) + w.shape)
+                    return jax.lax.dot_general(
+                        w3, a, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
 
-        def ctrT(t, W, axis):
-            """out[..., j, ...] = sum_k W[k, j] t[..., k, ...] — contraction
-            with W^T without materializing a transpose."""
-            if axis == 2:
-                return jax.lax.dot_general(
-                    t, W, (((2,), (0,)), ((), ())), precision=hi)
-            if axis == 0:
-                return jax.lax.dot_general(
-                    W, t, (((0,), (0,)), ((), ())), precision=hi)
-            W3 = jnp.broadcast_to(W[None], (t.shape[0],) + W.shape)
-            return jax.lax.dot_general(
-                W3, t, (((1,), (1,)), ((0,), (0,))), precision=hi)
+            return hilo3(d, t, W)
 
         def kernel(src_r, *refs):
             K_r = refs[:L]
@@ -113,8 +142,9 @@ class CoarseCycleKernel:
             idg_r = refs[2 * L: 3 * L]
             msk_r = refs[3 * L: 4 * L]
             P_r = refs[4 * L: 5 * L - 1]
-            scal_r = refs[5 * L - 1]
-            out_r = refs[5 * L]
+            PT_r = refs[5 * L - 1: 6 * L - 2]
+            scal_r = refs[6 * L - 2]
+            out_r = refs[6 * L - 1]
 
             def apply_op(l, u):
                 m = msk_r[l][...]
@@ -151,10 +181,10 @@ class CoarseCycleKernel:
                 return x
 
             def restrict(l, f):
-                P = P_r[l - 1][...]
-                t = ctrT(f, P, 0)
-                t = ctrT(t, P, 1)
-                return ctrT(t, P, 2)
+                PT = PT_r[l - 1][...]
+                t = ctr(f, PT, 0)
+                t = ctr(t, PT, 1)
+                return ctr(t, PT, 2)
 
             def prolongate(l, c):
                 P = P_r[l - 1][...]
@@ -182,7 +212,8 @@ class CoarseCycleKernel:
             out_r[...] = cycle(L - 1, src_r[...])
 
         operands = (list(self.K1m) + list(self.M1m) + list(self.inv_diag3)
-                    + list(self.mask3) + list(self.P1) + [self.scal])
+                    + list(self.mask3) + list(self.P1) + list(self.P1T)
+                    + [self.scal])
         fn = pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -218,6 +249,7 @@ def make_coarse_cycle(
     smoothing_range: float = 15.0,
     degree: int | None = 5,
     eig_cg_n_iterations: int = 10,
+    min_extent: int = 32,
     interpret: bool = False,
 ) -> CoarseCycleKernel:
     """Build the mega-kernel for the hierarchy tail ``spaces`` (coarsest
@@ -227,7 +259,7 @@ def make_coarse_cycle(
     (reference: source/geometric_multigrid/program.cc:274-279)."""
     from ..solvers.chebyshev import make_chebyshev
 
-    K1m, M1m, idg3, msk3, P1 = [], [], [], [], []
+    K1m, M1m, idg3, msk3, P1, P1T = [], [], [], [], [], []
     scal = np.zeros((len(spaces), 2), np.float32)
     degrees = []
     for l, sp in enumerate(spaces):
@@ -236,14 +268,31 @@ def make_coarse_cycle(
         K1, M1 = assembled_1d_matrices(sp)
         m1 = sp.free_mask_1d()
         # TRIMMED operands (global last planes are Dirichlet: masked matrix
-        # rows/cols are zero, so the slice is exact)
-        K1m.append(jnp.asarray((m1[:, None] * K1 * m1[None, :])[:-1, :-1],
-                               dtype))
-        M1m.append(jnp.asarray((m1[:, None] * M1 * m1[None, :])[:-1, :-1],
-                               dtype))
+        # rows/cols are zero, so the slice is exact), zero-PADDED up to
+        # min_extent — Mosaic crashes on x-pattern dots at tiny extents
+        # (r3 batch-6/7); the padded region is exactly zero-preserved
+        # (zero matrix rows/cols, mask 0, unit diagonal)
+        Np = max(sp.grid_shape[0] - 1, min_extent)
+
+        def pad2(a, fill=0.0):
+            out = np.full((Np, Np), fill)
+            out[: a.shape[0], : a.shape[1]] = a
+            return out
+
+        def pad3(a, fill=0.0):
+            out = np.full((Np,) * 3, fill)
+            out[: a.shape[0], : a.shape[1], : a.shape[2]] = a
+            return out
+
+        K1m.append(jnp.asarray(
+            pad2((m1[:, None] * K1 * m1[None, :])[:-1, :-1]), dtype))
+        M1m.append(jnp.asarray(
+            pad2((m1[:, None] * M1 * m1[None, :])[:-1, :-1]), dtype))
         op = make_laplace(sp, dtype, variant="kron")
-        idg3.append(jnp.asarray(op.inv_diag[:-1, :-1, :-1], dtype))
-        msk3.append(jnp.asarray(op.mask[:-1, :-1, :-1], dtype))
+        idg3.append(jnp.asarray(
+            pad3(np.asarray(op.inv_diag)[:-1, :-1, :-1], fill=1.0), dtype))
+        msk3.append(jnp.asarray(
+            pad3(np.asarray(op.mask)[:-1, :-1, :-1]), dtype))
         if l == 0:
             sm = make_chebyshev(
                 op, smoothing_range=1e-3, degree=None,
@@ -266,9 +315,15 @@ def make_coarse_cycle(
             w = _weights_1d(c.mesh.cells_per_axis, 2 * p) * sp.free_mask_1d()
             P = _axis_matrix_1d(M1p, c.mesh.cells_per_axis, p, 2 * p, w,
                                 c.free_mask_1d())
-            P1.append(jnp.asarray(P[:-1, :-1], dtype))
+            Pt = P[:-1, :-1]
+            Npc = max(c.grid_shape[0] - 1, min_extent)
+            Pp = np.zeros((Np, Npc))
+            Pp[: Pt.shape[0], : Pt.shape[1]] = Pt
+            P1.append(jnp.asarray(Pp, dtype))
+            P1T.append(jnp.asarray(np.ascontiguousarray(Pp.T), dtype))
     return CoarseCycleKernel(
-        shapes=tuple(sp.grid_shape[0] - 1 for sp in spaces),
+        shapes=tuple(max(sp.grid_shape[0] - 1, min_extent) for sp in spaces),
+        top_trim=spaces[-1].grid_shape[0] - 1,
         degrees=tuple(degrees),
         interpret=interpret,
         K1m=tuple(K1m),
@@ -276,5 +331,6 @@ def make_coarse_cycle(
         inv_diag3=tuple(idg3),
         mask3=tuple(msk3),
         P1=tuple(P1),
+        P1T=tuple(P1T),
         scal=jnp.asarray(scal),
     )

@@ -59,43 +59,48 @@ def _hilo(w: np.ndarray):
     return jnp.asarray(hi, jnp.bfloat16), jnp.asarray(lo, jnp.bfloat16)
 
 
+PAD = 8  # input padding per side: windows live in a padded frame so every
+# DMA start is a PURE multiple of the stride — conditionals, floor-div,
+# min/max and SMEM reads in DMA start arithmetic all crash Mosaic
+# (r3 batches 6-9)
+
+
 def _window_blocks(P_t: np.ndarray, nb: int, out_w: int, win_w: int,
                    transpose: bool):
-    """Per-block contraction matrices for a halo'd window read.
+    """Per-block contraction matrices in the PADDED window frame.
 
-    Block b writes output rows [b*out_w, (b+1)*out_w) reading input window
-    [start(b), start(b)+win_w) where start(b) = clamp(anchor - pad) rounded
-    to the DMA alignment; the matrix slice absorbs clamping and alignment.
-    Returns (starts [nb] int32, mats [nb, out_w, win_w]).
+    The kernel reads the input padded by PAD rows on each side; block b's
+    window starts at b*stride (padded coords) = b*stride - PAD (global),
+    width win_w = stride + 2*PAD, so nb*stride + 2*PAD == N_in + 2*PAD
+    tiles the padded array exactly.  Matrix column k maps global input row
+    b*stride - PAD + k (zero outside [0, N_in)).
 
-    ``transpose=False``: prolongation, out = fine rows, in = coarse window,
-    mats[b] = P_t[out_rows, win].  ``transpose=True``: restriction,
-    out = coarse rows, in = fine window, mats[b] = P_t[win, out_rows]^T.
+    ``transpose=False``: prolongation, mats[b][o, k] = P_t[b*out_w + o, g].
+    ``transpose=True``: restriction, mats[b][o, k] = P_t[g, b*out_w + o].
     """
     N_out, N_in = (P_t.shape[1], P_t.shape[0]) if transpose else P_t.shape
-    ratio = N_in / N_out
-    starts = np.zeros(nb, np.int32)
+    stride = win_w - 2 * PAD
+    assert nb * stride == N_in, (nb, stride, N_in)
     mats = np.zeros((nb, out_w, win_w), P_t.dtype)
     for b in range(nb):
-        anchor = int(round(b * out_w * ratio))
-        s = max(0, min(((anchor - 8) // 8) * 8, N_in - win_w))
-        starts[b] = s
         rows = slice(b * out_w, (b + 1) * out_w)
-        win = slice(s, s + win_w)
-        blk = P_t[win, rows].T if transpose else P_t[rows, win]
-        mats[b] = blk
-    return starts, mats
+        for k in range(win_w):
+            g = b * stride - PAD + k
+            if 0 <= g < N_in:
+                mats[b][:, k] = P_t[g, rows] if transpose else P_t[rows, g]
+    return mats
 
 
 def _check_cover(P_t: np.ndarray, nb: int, out_w: int, win_w: int,
                  transpose: bool) -> bool:
     """True iff every nonzero of P_t lands inside some block's window."""
-    starts, _ = _window_blocks(P_t, nb, out_w, win_w, transpose)
+    stride = win_w - 2 * PAD
     A = P_t.T if transpose else P_t
     for b in range(nb):
         rows = A[b * out_w: (b + 1) * out_w]
         nz = np.nonzero(np.any(rows != 0.0, axis=0))[0]
-        if nz.size and (nz.min() < starts[b] or nz.max() >= starts[b] + win_w):
+        if nz.size and (nz.min() < b * stride - PAD
+                        or nz.max() >= b * stride - PAD + win_w):
             return False
     return True
 
@@ -115,10 +120,8 @@ class PallasTransfer:
     win_p: int = static_field()  # coarse window width (prolongate)
     coarse_trimmed: bool = static_field(default=True)
     interpret: bool = static_field(default=False)
-    # restrict operands: per-block x/y matrices + starts, full z matrix
-    r_starts: tuple = None  # (sx [nbx], sy [nby]) int32
+    # per-direction operands: per-block x/y window matrices, full z matrix
     r_mats: tuple = None  # (Mx hi/lo [nbx,bc,win_r], My hi/lo, Mz hi/lo)
-    p_starts: tuple = None
     p_mats: tuple = None
 
     def _contract(self, t, w_hi, w_lo, axis, out_w):
@@ -166,14 +169,12 @@ class PallasTransfer:
         n_add = 0 if add is None else 1
 
         (Mxh, Mxl, Myh, Myl, Mzh, Mzl) = mats
-        # window starts are pure program-id arithmetic (same clamped formula
-        # as the host-side _window_blocks, so the per-block matrices match);
-        # SMEM-sourced DMA starts crash the Mosaic compiler (r3 batch-6)
-        anchor = out_w * 2 if restrict else out_w // 2
-
-        def start(idx, n_in):
-            s = ((idx * anchor - 8) // 8) * 8
-            return jnp.maximum(0, jnp.minimum(s, n_in - win_w))
+        # padded-frame windows: input padded by PAD per side (XLA), every
+        # DMA start is a PURE multiple of the stride — the only start form
+        # Mosaic compiles (conditionals/floor-div/min-max/SMEM all crash,
+        # r3 batches 6-9); nb*stride + 2*PAD tiles the padded array exactly
+        stride = win_w - 2 * PAD
+        src = jnp.pad(src, ((PAD, PAD), (PAD, PAD), (0, 0)))
 
         def kernel(src_hbm, mxh_r, mxl_r, myh_r, myl_r,
                    mzh_r, mzl_r, *rest):
@@ -183,8 +184,8 @@ class PallasTransfer:
             win, sem = rest[n_add + 1:]
             i = pl.program_id(0)
             j = pl.program_id(1)
-            x0 = start(i, in_shape[0])
-            y0 = start(j, in_shape[1])
+            x0 = i * stride
+            y0 = j * stride
             cp = pltpu.make_async_copy(
                 src_hbm.at[pl.ds(x0, win_w), pl.ds(y0, win_w), pl.ds(0, Zi)],
                 win, sem,
@@ -288,9 +289,7 @@ def pallas_h_transfer_eligible(coarse: FESpace, fine: FESpace,
         and nf % bf == 0
         and bf % 2 == 0
         and (bc * p) % 8 == 0
-        # halo'd windows must fit inside the (trimmed) grids
-        and (bc * p) * 2 + 16 <= nf * p
-        and (bf * p) // 2 + 16 <= (nf // 2) * p
+        and p <= PAD  # window halo must fit in the padded frame
     )
 
 
@@ -323,13 +322,13 @@ def make_pallas_h_transfer(
     bcx = (bf // 2) * p  # coarse rows per block
     nbf = Nf // bfx
     nbc = Nc // bcx
-    # windows: halo p (+8 alignment slack), widths multiples of 8, clamped
-    # to the axis extent (tiny grids read the whole axis)
-    win_r = min(bcx * 2 + 16, Nf)  # fine window for a coarse out block
-    win_p = min(bfx // 2 + 16, Nc)  # coarse window for a fine out block
+    # padded-frame windows: width = stride + 2*PAD, stride = input rows per
+    # block (the halo p <= PAD lives in the padding / neighbouring strides)
+    win_r = bcx * 2 + 2 * PAD  # fine window for a coarse out block
+    win_p = bfx // 2 + 2 * PAD  # coarse window for a fine out block
 
-    rsx, rmx = _window_blocks(P_t, nbc, bcx, win_r, transpose=True)
-    psx, pmx = _window_blocks(P_t, nbf, bfx, win_p, transpose=False)
+    rmx = _window_blocks(P_t, nbc, bcx, win_r, transpose=True)
+    pmx = _window_blocks(P_t, nbf, bfx, win_p, transpose=False)
     assert _check_cover(P_t, nbc, bcx, win_r, True), "restrict window too narrow"
     assert _check_cover(P_t, nbf, bfx, win_p, False), "prolongate window too narrow"
 
@@ -337,8 +336,6 @@ def make_pallas_h_transfer(
     pmh, pml = _hilo(pmx)
     rzh, rzl = _hilo(P_t.T)  # z restrict: [Zc, Zf]
     pzh, pzl = _hilo(P_t)  # z prolongate: [Zf, Zc]
-    sx = jnp.asarray(rsx)
-    px = jnp.asarray(psx)
     return PallasTransfer(
         dim=3,
         shape_f=(Nf, Nf, Zf),
@@ -349,8 +346,6 @@ def make_pallas_h_transfer(
         win_p=win_p,
         coarse_trimmed=coarse_trimmed,
         interpret=interpret,
-        r_starts=(sx, sx),
         r_mats=(rmh, rml, rmh, rml, rzh, rzl),
-        p_starts=(px, px),
         p_mats=(pmh, pml, pmh, pml, pzh, pzl),
     )

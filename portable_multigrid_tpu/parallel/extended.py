@@ -79,6 +79,35 @@ def _ext_axis0_level(sp: FESpace, n0: int):
     return K0, M0, m0, np.diag(K0).copy(), np.diag(M0).copy()
 
 
+def _dense_coarse_bounds(sp: FESpace, n0: int):
+    """EXACT extreme eigenvalues of the Jacobi-preconditioned coarsest
+    extended operator via a host-side dense eigensolve (the level is tiny;
+    low-precision CG-Lanczos at hundreds of iterations breaks down)."""
+    p = sp.degree
+    live = sp.mesh.cells_per_axis
+    K1, M1 = assembled_1d_matrices(sp)
+    m1 = sp.free_mask_1d()
+    K0, M0, m0, _, _ = _ext_axis0_level(sp, n0)
+
+    def msk(A, m):
+        return m[:, None] * A * m[None, :]
+
+    K0m, M0m = msk(K0, m0), msk(M0, m0)
+    K1m, M1m = msk(K1, m1), msk(M1, m1)
+    if sp.dim == 3:
+        A = (np.kron(K0m, np.kron(M1m, M1m))
+             + np.kron(M0m, np.kron(K1m, M1m))
+             + np.kron(M0m, np.kron(M1m, K1m)))
+        mask = np.kron(m0, np.kron(m1, m1))
+    else:
+        A = np.kron(K0m, M1m) + np.kron(M0m, K1m)
+        mask = np.kron(m0, m1)
+    A = A + np.diag(1.0 - mask)
+    dinv = 1.0 / np.sqrt(np.diag(A))
+    ev = np.linalg.eigvalsh(dinv[:, None] * A * dinv[None, :])
+    return float(ev[0]), float(ev[-1])
+
+
 def _ext_operator(sp: FESpace, n0: int, dtype) -> LaplaceOperator:
     """Single-device twin on the full extended (anisotropic) grid."""
     dim = sp.dim
@@ -148,18 +177,23 @@ class ExtendedShardedPoisson(ShardedGeometricPoisson):
         for j, (sp, n0) in enumerate(zip(self.spaces, self.n0s)):
             coarse = j == 0
             op_st = self._build_op(sp, n0, S, dtype)
-            twin = _ext_operator(sp, n0, dtype)
-            shape = tuple(nd * degree + 1
-                          for nd in (n0,) + (sp.mesh.cells_per_axis,)
-                          * (dim - 1))
-            v0 = _pseudo_random_grid(shape, dtype) * np.asarray(twin.mask)
-            # the extended coarsest level is S cells (not the reference's 1),
-            # so m() eig-CG iterations can exceed what low precision
-            # tolerates — the Lanczos extremes converge in O(100) steps
-            n_iter = min(twin.n_dofs, 256) if coarse else 10
-            mn, mx = estimate_eigenvalues(
-                twin, None, n_iter, jnp.asarray(v0, dtype)
-            )
+            if coarse and (n0 * degree + 1) * sp.points_per_axis ** (
+                    dim - 1) <= 20000:
+                # the coarsest extended level is S cells (not the
+                # reference's 1): m() eig-CG iterations in low precision
+                # break down into degenerate estimates, so take the EXACT
+                # extremes from a host-side dense eigensolve instead
+                mn, mx = _dense_coarse_bounds(sp, n0)
+            else:
+                twin = _ext_operator(sp, n0, dtype)
+                shape = tuple(nd * degree + 1
+                              for nd in (n0,) + (sp.mesh.cells_per_axis,)
+                              * (dim - 1))
+                v0 = _pseudo_random_grid(shape, dtype) * np.asarray(twin.mask)
+                n_iter = min(twin.n_dofs, 256) if coarse else 10
+                mn, mx = estimate_eigenvalues(
+                    twin, None, n_iter, jnp.asarray(v0, dtype)
+                )
             if coarse:
                 alpha, beta, deg = chebyshev_bounds(mn, mx, 1e-3, None)
             else:

@@ -296,7 +296,12 @@ def chebyshev_bounds(
         alpha = max_eig / smoothing_range
     else:
         alpha = min(0.9 * max_eig, min_eig)
-    alpha = min(alpha, beta * (1.0 - 1e-8))  # keep the interval non-degenerate
+    # keep the interval non-degenerate on BOTH ends: low-precision Lanczos
+    # breakdown can report min_eig ~ 0, which would blow the adaptive
+    # degree below (the Jacobi-preconditioned operator's true condition
+    # number is far under 1e6 for every configuration here)
+    alpha = max(alpha, beta * 1e-6)
+    alpha = min(alpha, beta * (1.0 - 1e-8))
     if degree is None:
         actual_range = beta / alpha
         sigma = (1.0 - np.sqrt(1.0 / actual_range)) / (
@@ -308,7 +313,11 @@ def chebyshev_bounds(
             + np.log(1.0 / eps + np.sqrt(1.0 / eps**2 - 1.0))
             / np.log(1.0 / max(sigma, 1e-12))
         )
-        degree = max(degree, 1)
+        # sanity cap: a degenerate eigenvalue estimate (low-precision CG
+        # breakdown can report min_eig ~ 0) would otherwise request an
+        # astronomically unrolled recurrence; every legitimate coarse-solver
+        # degree in this framework is far below this bound
+        degree = min(max(degree, 1), 512)
     return float(alpha), float(beta), int(degree)
 
 
