@@ -196,7 +196,8 @@ class PallasLaplaceOperator:
         core = self.core
         # x-trimmed input: the kernel's last block fetches X-1 rows and
         # zeroes the final window row ("f" modes carry the extra x plane)
-        trimmed_in = mode in ("cheb", "residual3t", "residual1t")
+        trimmed_in = mode in ("cheb", "chebl", "chebd", "chebdl",
+                              "residual3t", "residual1t")
 
         if byp % 8 != 0:
             raise ValueError("pallas kernel requires by*p % 8 == 0")
@@ -205,9 +206,14 @@ class PallasLaplaceOperator:
         n_facs = 0 if mode in ("apply", "residual1t", "residual1f") else 6
         n_scal = 0 if scal is None else 1
         n_bins = len(blocked_ins)
+        # "chebl"/"chebdl": LAST recurrence step — nothing consumes r', so
+        # skip its write (one full HBM stream per smoothing step);
+        # "chebd"/"chebdl": x == d on entry (apply()'s zero-initial-guess
+        # first step), so skip the duplicate x read
         n_outs = {"apply": 1, "residual": 2, "residual3t": 3,
                   "residual1t": 1, "cheb": 3, "chebf": 3,
-                  "residual3f": 3, "residual1f": 1}[mode]
+                  "residual3f": 3, "residual1f": 1,
+                  "chebl": 2, "chebd": 3, "chebdl": 2}[mode]
         xmask_vec = self.xmask == "vector"
         n_xm = 1 if xmask_vec else 0
         ymask_vec = self.ymask == "vector"
@@ -573,17 +579,24 @@ class PallasLaplaceOperator:
                     # seed the recurrence accumulator: x0 = u + d0 (u is the
                     # kernel's stencil input, already resident in the slab)
                     out_refs[2][...] = slab[islot, : X - 1, 0:byp, :] + d0
-            else:  # "cheb"
+            else:  # "cheb" family
                 d_blk = slab[islot, : X - 1, 0:byp, :]
                 r_blk = bin_refs[0][...]
-                x_blk = bin_refs[1][...]
+                if mode in ("chebd", "chebdl"):
+                    x_blk = d_blk  # zero-initial-guess first step: x == d
+                else:
+                    x_blk = bin_refs[1][...]
                 c0 = scal_r[0, 0]
                 c1 = scal_r[0, 1]
                 rn = r_blk - outv
                 dn = c0 * d_blk + (c1 / diag) * rn
-                out_refs[0][...] = rn
-                out_refs[1][...] = dn
-                out_refs[2][...] = x_blk + dn
+                if mode in ("chebl", "chebdl"):
+                    out_refs[0][...] = dn
+                    out_refs[1][...] = x_blk + dn
+                else:
+                    out_refs[0][...] = rn
+                    out_refs[1][...] = dn
+                    out_refs[2][...] = x_blk + dn
 
         mats = self.bands if core == "banded" else self.dense_mats
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [

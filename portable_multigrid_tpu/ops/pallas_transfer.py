@@ -286,6 +286,10 @@ def pallas_h_transfer_eligible(coarse: FESpace, fine: FESpace,
         and coarse.degree == p
         and nf == 2 * coarse.mesh.cells_per_axis
         and (nf * p) % 128 == 0
+        # the COARSE side's lane extent must also be a 128-multiple:
+        # sub-128-lane pallas outputs crash Mosaic (r3 batch-10: the
+        # r5<->r4 pair with Zc=64 killed the whole bench compile)
+        and ((nf // 2) * p) % 128 == 0
         and nf % bf == 0
         and bf % 2 == 0
         and (bc * p) % 8 == 0

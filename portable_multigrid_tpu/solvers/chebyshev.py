@@ -126,7 +126,7 @@ class FusedChebyshev:
     def inv_diag(self):
         return self.op.inv_diag
 
-    def _steps(self, r, d, x):
+    def _steps(self, r, d, x, x_is_d: bool = False):
         sigma1 = self.theta / self.delta
 
         def step(carry, _):
@@ -140,12 +140,33 @@ class FusedChebyshev:
 
         carry = (r, d, x, 1.0 / sigma1)
         if self.steps_mode == "unroll":
-            for _ in range(self.degree - 1):
-                carry, _ = step(carry, None)
-        else:
-            carry, _ = jax.lax.scan(
-                step, carry, None, length=self.degree - 1
-            )
+            # unrolled: the first step may skip the duplicate x(==d) read
+            # and the LAST step skips the dead r' write — one fewer full
+            # HBM stream each (modes chebd/chebl/chebdl)
+            n = self.degree - 1
+            for k in range(n):
+                r, d, x, rho = carry
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                scal = jnp.stack(
+                    [rho_new * rho, 2.0 * rho_new / self.delta]
+                ).astype(jnp.float32)
+                first_d = x_is_d and k == 0
+                last = k == n - 1
+                mode = {(False, False): "cheb", (False, True): "chebl",
+                        (True, False): "chebd", (True, True): "chebdl"}[
+                    (first_d, last)]
+                bins = (r,) if first_d else (r, x)
+                outs = self.op_smooth._run(mode, d, bins, scal)
+                if last:
+                    d, x = outs
+                    r = None
+                else:
+                    r, d, x = outs
+                carry = (r, d, x, rho_new)
+            return carry[2]
+        carry, _ = jax.lax.scan(
+            step, carry, None, length=self.degree - 1
+        )
         return carry[2]
 
     def _trim(self, b):
@@ -170,7 +191,7 @@ class FusedChebyshev:
         entries of b must be zero; the output's are zero)."""
         bt = b if self.trimmed_io else self._trim(b)
         d0 = bt / (self.theta * self._diag_trimmed())
-        x = self._steps(bt, d0, d0)
+        x = self._steps(bt, d0, d0, x_is_d=True)
         if self.trimmed_io:
             return x
         return jnp.pad(x, ((0, 1), (0, 1), (0, 1)))
