@@ -53,8 +53,12 @@ class CoarseCycleKernel:
     the V-cycle coarse-solver surface (``apply``) on the TOP level, trimmed.
     """
 
-    shapes: tuple = static_field()  # per-level PADDED in-kernel extent
-    degrees: tuple = static_field()  # Chebyshev degree per level
+    shapes: tuple = static_field()  # per-level PADDED x/y in-kernel extent
+    # per-level PADDED lane (z) extent: bf16 x-pattern dots need >= 128
+    # lanes while x/y extents compile from 32 (r3 batch-12 bisection), so
+    # padding is anisotropic and the z axis carries its own matrices
+    shapes_z: tuple = static_field(default=())
+    degrees: tuple = static_field(default=())  # Chebyshev degree per level
     top_trim: int = static_field(default=0)  # true trimmed top-level extent
     pre: int = static_field(default=2)
     post: int = static_field(default=2)
@@ -62,15 +66,19 @@ class CoarseCycleKernel:
     # production grade; "default" exists for Mosaic-crash bisection
     precision: str = static_field(default="highest")
     interpret: bool = static_field(default=False)
-    K1m: tuple = None  # per-level [N, N] mask-folded assembled 1D stiffness
+    K1m: tuple = None  # per-level [Nxy, Nxy] mask-folded 1D stiffness (x/y)
     M1m: tuple = None
-    inv_diag3: tuple = None  # per-level [N, N, N]
-    mask3: tuple = None  # per-level [N, N, N]
-    P1: tuple = None  # per-PAIR [N_f, N_c] weights+masks-folded prolongation
+    K1mz: tuple = None  # per-level [Nz, Nz] z-axis (lane-padded) variants
+    M1mz: tuple = None
+    inv_diag3: tuple = None  # per-level [Nxy, Nxy, Nz]
+    mask3: tuple = None  # per-level [Nxy, Nxy, Nz]
+    P1: tuple = None  # per-PAIR [Nf, Nc] weights+masks-folded prolongation
     # host-side transposes of P1: restriction contracts with these through
     # the SAME dot patterns as prolongation — Mosaic crashes on the
     # transposed-contraction dimension numbers (r3 batch-9)
     P1T: tuple = None
+    P1z: tuple = None  # z-axis (lane-padded) transfer matrices
+    P1zT: tuple = None
     scal: jnp.ndarray = None  # [L, 2] (theta, delta) per level
 
     @property
@@ -80,13 +88,14 @@ class CoarseCycleKernel:
     def apply(self, src: jnp.ndarray) -> jnp.ndarray:
         """Coarse-solver vmult on the TRIMMED top-level grid."""
         Nt = self.shapes[-1]
+        Nz = self.shapes_z[-1]
         top = self.top_trim or Nt
-        if top == Nt:
+        if top == Nt and top == Nz:
             return self._apply_padded(src)
-        # top level below the in-kernel padding floor: convert
+        # top level below the in-kernel padding floors: convert
         # representation outside the kernel (tiny XLA pad/slice)
-        pad = Nt - top
-        out = self._apply_padded(jnp.pad(src, ((0, pad),) * 3))
+        out = self._apply_padded(jnp.pad(
+            src, ((0, Nt - top), (0, Nt - top), (0, Nz - top))))
         return out[:top, :top, :top]
 
     def _apply_padded(self, src: jnp.ndarray) -> jnp.ndarray:
@@ -137,22 +146,34 @@ class CoarseCycleKernel:
             return hilo3(d, t, W)
 
         def kernel(src_r, *refs):
-            K_r = refs[:L]
-            M_r = refs[L: 2 * L]
-            idg_r = refs[2 * L: 3 * L]
-            msk_r = refs[3 * L: 4 * L]
-            P_r = refs[4 * L: 5 * L - 1]
-            PT_r = refs[5 * L - 1: 6 * L - 2]
-            scal_r = refs[6 * L - 2]
-            out_r = refs[6 * L - 1]
+            pos = 0
+
+            def take(n):
+                nonlocal pos
+                out = refs[pos: pos + n]
+                pos += n
+                return out
+
+            K_r = take(L)
+            M_r = take(L)
+            Kz_r = take(L)
+            Mz_r = take(L)
+            idg_r = take(L)
+            msk_r = take(L)
+            P_r = take(L - 1)
+            PT_r = take(L - 1)
+            Pz_r = take(L - 1)
+            PzT_r = take(L - 1)
+            scal_r = take(1)[0]
+            out_r = take(1)[0]
 
             def apply_op(l, u):
                 m = msk_r[l][...]
                 um = u * m
                 K = K_r[l][...]
                 M = M_r[l][...]
-                b = ctr(um, M, 2)
-                a = ctr(um, K, 2)
+                b = ctr(um, Mz_r[l][...], 2)
+                a = ctr(um, Kz_r[l][...], 2)
                 mb = ctr(b, M, 1)
                 kb = ctr(b, K, 1)
                 ma = ctr(a, M, 1)
@@ -184,13 +205,13 @@ class CoarseCycleKernel:
                 PT = PT_r[l - 1][...]
                 t = ctr(f, PT, 0)
                 t = ctr(t, PT, 1)
-                return ctr(t, PT, 2)
+                return ctr(t, PzT_r[l - 1][...], 2)
 
             def prolongate(l, c):
                 P = P_r[l - 1][...]
                 t = ctr(c, P, 0)
                 t = ctr(t, P, 1)
-                return ctr(t, P, 2)
+                return ctr(t, Pz_r[l - 1][...], 2)
 
             def cycle(l, src):
                 if l == 0:
@@ -211,16 +232,18 @@ class CoarseCycleKernel:
             # Mosaic pad op) and keeps every extent a power of two
             out_r[...] = cycle(L - 1, src_r[...])
 
-        operands = (list(self.K1m) + list(self.M1m) + list(self.inv_diag3)
+        operands = (list(self.K1m) + list(self.M1m) + list(self.K1mz)
+                    + list(self.M1mz) + list(self.inv_diag3)
                     + list(self.mask3) + list(self.P1) + list(self.P1T)
-                    + [self.scal])
+                    + list(self.P1z) + list(self.P1zT) + [self.scal])
         fn = pl.pallas_call(
             kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
             * len(operands)
             + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Nt,) * 3, dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (Nt, Nt, self.shapes_z[-1]), dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024,
             ),
@@ -249,7 +272,8 @@ def make_coarse_cycle(
     smoothing_range: float = 15.0,
     degree: int | None = 5,
     eig_cg_n_iterations: int = 10,
-    min_extent: int = 32,
+    min_xy: int = 32,
+    min_z: int = 128,
     interpret: bool = False,
 ) -> CoarseCycleKernel:
     """Build the mega-kernel for the hierarchy tail ``spaces`` (coarsest
@@ -259,7 +283,8 @@ def make_coarse_cycle(
     (reference: source/geometric_multigrid/program.cc:274-279)."""
     from ..solvers.chebyshev import make_chebyshev
 
-    K1m, M1m, idg3, msk3, P1, P1T = [], [], [], [], [], []
+    K1m, M1m, K1mz, M1mz, idg3, msk3 = [], [], [], [], [], []
+    P1, P1T, P1z, P1zT = [], [], [], []
     scal = np.zeros((len(spaces), 2), np.float32)
     degrees = []
     for l, sp in enumerate(spaces):
@@ -268,26 +293,30 @@ def make_coarse_cycle(
         K1, M1 = assembled_1d_matrices(sp)
         m1 = sp.free_mask_1d()
         # TRIMMED operands (global last planes are Dirichlet: masked matrix
-        # rows/cols are zero, so the slice is exact), zero-PADDED up to
-        # min_extent — Mosaic crashes on x-pattern dots at tiny extents
-        # (r3 batch-6/7); the padded region is exactly zero-preserved
-        # (zero matrix rows/cols, mask 0, unit diagonal)
-        Np = max(sp.grid_shape[0] - 1, min_extent)
+        # rows/cols are zero, so the slice is exact), zero-PADDED
+        # anisotropically — bf16 x-pattern dots need >= 128 LANES while
+        # x/y extents compile from 32 (r3 batch-12); the padded region is
+        # exactly zero-preserved (zero matrix rows/cols, mask 0, unit diag)
+        Nt0 = sp.grid_shape[0] - 1
+        Np = max(Nt0, min_xy)
+        Nz = max(Nt0, min_z)
 
-        def pad2(a, fill=0.0):
-            out = np.full((Np, Np), fill)
+        def pad2(a, n, fill=0.0):
+            out = np.full((n, n), fill)
             out[: a.shape[0], : a.shape[1]] = a
             return out
 
         def pad3(a, fill=0.0):
-            out = np.full((Np,) * 3, fill)
+            out = np.full((Np, Np, Nz), fill)
             out[: a.shape[0], : a.shape[1], : a.shape[2]] = a
             return out
 
-        K1m.append(jnp.asarray(
-            pad2((m1[:, None] * K1 * m1[None, :])[:-1, :-1]), dtype))
-        M1m.append(jnp.asarray(
-            pad2((m1[:, None] * M1 * m1[None, :])[:-1, :-1]), dtype))
+        K1t = (m1[:, None] * K1 * m1[None, :])[:-1, :-1]
+        M1t = (m1[:, None] * M1 * m1[None, :])[:-1, :-1]
+        K1m.append(jnp.asarray(pad2(K1t, Np), dtype))
+        M1m.append(jnp.asarray(pad2(M1t, Np), dtype))
+        K1mz.append(jnp.asarray(pad2(K1t, Nz), dtype))
+        M1mz.append(jnp.asarray(pad2(M1t, Nz), dtype))
         op = make_laplace(sp, dtype, variant="kron")
         idg3.append(jnp.asarray(
             pad3(np.asarray(op.inv_diag)[:-1, :-1, :-1], fill=1.0), dtype))
@@ -316,21 +345,34 @@ def make_coarse_cycle(
             P = _axis_matrix_1d(M1p, c.mesh.cells_per_axis, p, 2 * p, w,
                                 c.free_mask_1d())
             Pt = P[:-1, :-1]
-            Npc = max(c.grid_shape[0] - 1, min_extent)
-            Pp = np.zeros((Np, Npc))
-            Pp[: Pt.shape[0], : Pt.shape[1]] = Pt
-            P1.append(jnp.asarray(Pp, dtype))
-            P1T.append(jnp.asarray(np.ascontiguousarray(Pp.T), dtype))
+            Nc0 = c.grid_shape[0] - 1
+
+            def padP(nf, nc):
+                out = np.zeros((nf, nc))
+                out[: Pt.shape[0], : Pt.shape[1]] = Pt
+                return out
+
+            P1.append(jnp.asarray(padP(Np, max(Nc0, min_xy)), dtype))
+            P1T.append(jnp.asarray(
+                np.ascontiguousarray(padP(Np, max(Nc0, min_xy)).T), dtype))
+            P1z.append(jnp.asarray(padP(Nz, max(Nc0, min_z)), dtype))
+            P1zT.append(jnp.asarray(
+                np.ascontiguousarray(padP(Nz, max(Nc0, min_z)).T), dtype))
     return CoarseCycleKernel(
-        shapes=tuple(max(sp.grid_shape[0] - 1, min_extent) for sp in spaces),
+        shapes=tuple(max(sp.grid_shape[0] - 1, min_xy) for sp in spaces),
+        shapes_z=tuple(max(sp.grid_shape[0] - 1, min_z) for sp in spaces),
         top_trim=spaces[-1].grid_shape[0] - 1,
         degrees=tuple(degrees),
         interpret=interpret,
         K1m=tuple(K1m),
         M1m=tuple(M1m),
+        K1mz=tuple(K1mz),
+        M1mz=tuple(M1mz),
         inv_diag3=tuple(idg3),
         mask3=tuple(msk3),
         P1=tuple(P1),
         P1T=tuple(P1T),
+        P1z=tuple(P1z),
+        P1zT=tuple(P1zT),
         scal=jnp.asarray(scal),
     )
