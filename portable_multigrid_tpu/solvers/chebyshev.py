@@ -253,11 +253,16 @@ def estimate_eigenvalues(
     """Extreme eigenvalues of P^-1 A via n_iter CG-Lanczos iterations.
 
     ``inv_diag=None`` derives the Jacobi preconditioner from ``op.inv_diag``
-    inside the traced program (no large captured constants)."""
+    inside the traced program (no large captured constants).  The operator
+    pytree is a jit ARGUMENT (like models/poisson.py:_solve), not a closure:
+    kron operators on large grids carry dense 1D matrices (a 2D Q7 r=9
+    level is 2 x 51 MB), and closure capture would embed them as HLO
+    constants in every per-level setup compile — the remote-compile payload
+    blowup of the round-1 notes, hit by the polynomial driver at r>=8."""
     n_iter = int(n_iter)
 
     @jax.jit
-    def run(b):
+    def run(op, inv_diag, b):
         idg = op.inv_diag if inv_diag is None else inv_diag
         r = b
         x = jnp.zeros_like(b)
@@ -284,7 +289,7 @@ def estimate_eigenvalues(
         )
         return alphas, betas
 
-    alphas_dev, betas_dev = run(v0)
+    alphas_dev, betas_dev = run(op, inv_diag, v0)
     alphas = np.asarray(alphas_dev, dtype=np.float64)
     betas = np.asarray(betas_dev, dtype=np.float64)
     valid = np.isfinite(alphas) & (alphas != 0) & np.isfinite(betas)
