@@ -121,6 +121,14 @@ def main():
              if pallas_eligible(sp) or pallas_eligible(sp, 16, 16)),
             0,
         )
+        # cap the tail so the mega TOP level's trimmed extent stays <= 32:
+        # a 64-extent top level (k=5 tail at Q4) makes the Mosaic program
+        # large enough to OOM-SIGKILL the remote compile helper (r3
+        # batch-13); levels between the cap and the first pallas-eligible
+        # level run as plain kron/XLA levels
+        max_ext = int(os.environ.get("PMG_BENCH_MEGA_MAX_EXT", "32"))
+        while cut > 0 and spaces[cut - 1].grid_shape[0] - 1 > max_ext:
+            cut -= 1
         if cut >= 2:
             kern = make_coarse_cycle(spaces[:cut], dtype)
             levels.append(MGLevel(
