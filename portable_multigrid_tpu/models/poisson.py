@@ -87,8 +87,12 @@ def _build_level(
             fused_smoother_op=fused,
             # fused levels run the trimmed kernel-chained pipeline (state
             # pads/trims only at representation boundaries — wire_trimmed)
+            # with the recurrence r/d streams stored bf16 (halves the
+            # dominant smoother HBM traffic; CG-count parity pinned in
+            # tests/test_pallas_smoother.py)
             trimmed_io=fused is not None,
             resid3_op=resid3,
+            state_dtype="bf16" if fused is not None else "f32",
         )
     return op, smoother
 

@@ -54,11 +54,26 @@ def to_bands(W: np.ndarray, p: int) -> np.ndarray:
     return bands
 
 
+def lane_pad(space: FESpace) -> int:
+    """Zero-padding of the z (lane) extent to the next 128-multiple.
+
+    Mosaic DMA lane slices must be 128-aligned, so grids whose n*p is not a
+    128-multiple (Q5: 320, Q7: 224) store kernel-facing z arrays padded to
+    Zp = roundup(n*p, 128).  The pad region is structurally inert: the band
+    matrices are zero there (to_bands of the zero-extended 1D matrices), so
+    padded output lanes are exactly zero and padded input lanes contribute
+    nothing — the same mechanism that already drops the global Dirichlet
+    last plane.  Sub-128-lane grids stay ineligible (kernels with <128
+    lanes crash Mosaic, see CLAUDE.md round-3 rules)."""
+    Z = space.mesh.cells_per_axis * space.degree
+    return 0 if Z < 128 else (-Z) % 128
+
+
 def pallas_eligible(space: FESpace, bx: int = 8, by: int = 8) -> bool:
     n, p = space.mesh.cells_per_axis, space.degree
     return (
         space.dim == 3
-        and (n * p) % 128 == 0
+        and n * p >= 128  # z lanes pad up to the next 128-multiple
         and n % bx == 0
         and n % by == 0
         and (bx * p) % 8 == 0
@@ -90,6 +105,9 @@ class PallasLaplaceOperator:
     xmask: str = static_field(default="iota")
     # y-axis analog, for 2D pencil decompositions (mask1[1] per-shard slice)
     ymask: str = static_field(default="iota")
+    # z-lane zero padding (see lane_pad): kernel state carries n2*p + zpad
+    # lanes; pad lanes are identically zero (band rows there are zero)
+    zpad: int = static_field(default=0)
     bands: tuple = None  # (Kzb, Mzb, Kxb, Mxb, Kyb, Myb)
     dense_mats: tuple = None  # (Kz, Mz, Kx, Mx, KyB, MyB) bf16 ("mxu" core)
     # separable mask/diagonal factors (see LaplaceOperator: O(N) storage so
@@ -141,14 +159,22 @@ class PallasLaplaceOperator:
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         """Full vmult: A_eff = M A M + (I - M) (pad + combine around _run)."""
         u = u.reshape(self.grid_shape)
-        au = self._run("apply", u)
+        uk = u
+        if self.zpad:
+            # kernel DMA reads Zp = n2*p + zpad lanes; the full grid has
+            # n2*p + 1 — extend with zeros (inert: pad band rows are zero)
+            uk = jnp.pad(u, ((0, 0), (0, 0), (0, self.zpad - 1)))
+        au = self._run("apply", uk)
+        if self.zpad:
+            au = au[:, :, : self.grid_shape[2] - 1]
         # global last planes are Dirichlet faces (mask == 0 there): zero-pad
         # back to the full grid; XLA fuses pad + mask combine into one pass
         au = jnp.pad(au, ((0, 1), (0, 1), (0, 1)))
         m = self.mask
         return m * au + (1.0 - m) * u
 
-    def _run(self, mode: str, u: jnp.ndarray, blocked_ins=(), scal=None):
+    def _run(self, mode: str, u: jnp.ndarray, blocked_ins=(), scal=None,
+             sdtype: str = "f32"):
         """Shared block-grid / carry-plane kernel skeleton, three programs:
 
         * "apply":    outv = (M A M u) trimmed to (N0-1, N1-1, Z); u full.
@@ -188,10 +214,13 @@ class PallasLaplaceOperator:
         n0, n1, n2 = self.n
         N0, N1 = n0 * p + 1, n1 * p + 1
         bx, by = self.bx, self.by
-        X, Y, Z = bx * p + 1, by * p + 1, n2 * p
+        # Z is the kernel lane extent: the real n2*p lanes plus the inert
+        # zero pad (lane_pad).  All kernel-side arrays carry Z lanes.
+        X, Y, Z = bx * p + 1, by * p + 1, n2 * p + self.zpad
         nbi, nbj = n0 // bx, n1 // by
         byp, bxp = by * p, bx * p
         dtype = self.dtype
+        udtype = u.dtype  # stencil-input storage (bf16 for the d stream)
         nb = 2 * p + 1
         core = self.core
         # x-trimmed input: the kernel's last block fetches X-1 rows and
@@ -206,14 +235,27 @@ class PallasLaplaceOperator:
         n_facs = 0 if mode in ("apply", "residual1t", "residual1f") else 6
         n_scal = 0 if scal is None else 1
         n_bins = len(blocked_ins)
-        # "chebl"/"chebdl": LAST recurrence step — nothing consumes r', so
-        # skip its write (one full HBM stream per smoothing step);
+        # recurrence-state storage dtype: "bf16" stores the r/d streams in
+        # bfloat16 (HALF the smoother's HBM traffic on those streams).  The
+        # x accumulator and every input that is solution- or rhs-scale stay
+        # f32, and all arithmetic is f32 in-VMEM — only the stored r/d are
+        # rounded.  The mxu recurrence core rounds d to bf16 for the matmuls
+        # anyway, so A·d loses nothing; rounding r' perturbs the recurrence
+        # at recurrence-state scale, which Chebyshev smoothing absorbs (the
+        # level residuals stay on the exact f32 kernels — see CLAUDE.md).
+        sd = jnp.bfloat16 if sdtype == "bf16" else dtype
+        # "chebl"/"chebdl": LAST recurrence step — nothing consumes r' OR
+        # d', so skip both writes (two full HBM streams per smoothing step);
         # "chebd"/"chebdl": x == d on entry (apply()'s zero-initial-guess
         # first step), so skip the duplicate x read
-        n_outs = {"apply": 1, "residual": 2, "residual3t": 3,
-                  "residual1t": 1, "cheb": 3, "chebf": 3,
-                  "residual3f": 3, "residual1f": 1,
-                  "chebl": 2, "chebd": 3, "chebdl": 2}[mode]
+        out_dtypes = {"apply": (dtype,), "residual": (dtype, dtype),
+                      "residual3t": (sd, sd, dtype),
+                      "residual1t": (dtype,),
+                      "cheb": (sd, sd, dtype), "chebf": (dtype,) * 3,
+                      "residual3f": (dtype,) * 3, "residual1f": (dtype,),
+                      "chebl": (dtype,), "chebd": (sd, sd, dtype),
+                      "chebdl": (dtype,)}[mode]
+        n_outs = len(out_dtypes)
         xmask_vec = self.xmask == "vector"
         n_xm = 1 if xmask_vec else 0
         ymask_vec = self.ymask == "vector"
@@ -296,7 +338,7 @@ class PallasLaplaceOperator:
                     @pl.when(ii == nbi - 1)
                     def _():
                         slab[slot, X - 1: X, :, :] = jnp.zeros(
-                            (1, byp + 8, Z), dtype
+                            (1, byp + 8, Z), udtype
                         )
 
                 if ymask_vec:
@@ -319,7 +361,7 @@ class PallasLaplaceOperator:
                     @pl.when(jj == nbj - 1)
                     def _():
                         slab[slot, :, byp: byp + 8, :] = jnp.zeros(
-                            (X, 8, Z), dtype
+                            (X, 8, Z), udtype
                         )
 
             @pl.when(k == 0)
@@ -568,20 +610,25 @@ class PallasLaplaceOperator:
             zM = zM_r[...]
             diag = xK * yM * zM + xM * (yK * zM + yM * zK)
 
+            def put(ix, val):
+                # recurrence-state outputs may store bf16 (sdtype); the
+                # in-VMEM value is always f32
+                out_refs[ix][...] = val.astype(out_dtypes[ix])
+
             if mode in ("residual", "residual3t", "residual3f"):
                 rhs_blk = bin_refs[0][...]
                 theta = scal_r[0, 0]
                 r0 = rhs_blk - outv
-                out_refs[0][...] = r0
+                put(0, r0)
                 d0 = r0 / (theta * diag)
-                out_refs[1][...] = d0
+                put(1, d0)
                 if mode in ("residual3t", "residual3f"):
                     # seed the recurrence accumulator: x0 = u + d0 (u is the
                     # kernel's stencil input, already resident in the slab)
-                    out_refs[2][...] = slab[islot, : X - 1, 0:byp, :] + d0
+                    put(2, slab[islot, : X - 1, 0:byp, :] + d0)
             else:  # "cheb" family
-                d_blk = slab[islot, : X - 1, 0:byp, :]
-                r_blk = bin_refs[0][...]
+                d_blk = slab[islot, : X - 1, 0:byp, :].astype(dtype)
+                r_blk = bin_refs[0][...].astype(dtype)
                 if mode in ("chebd", "chebdl"):
                     x_blk = d_blk  # zero-initial-guess first step: x == d
                 else:
@@ -591,12 +638,12 @@ class PallasLaplaceOperator:
                 rn = r_blk - outv
                 dn = c0 * d_blk + (c1 / diag) * rn
                 if mode in ("chebl", "chebdl"):
-                    out_refs[0][...] = dn
-                    out_refs[1][...] = x_blk + dn
+                    # LAST step: only x' has a consumer
+                    put(0, x_blk + dn)
                 else:
-                    out_refs[0][...] = rn
-                    out_refs[1][...] = dn
-                    out_refs[2][...] = x_blk + dn
+                    put(0, rn)
+                    put(1, dn)
+                    put(2, x_blk + dn)
 
         mats = self.bands if core == "banded" else self.dense_mats
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
@@ -606,13 +653,21 @@ class PallasLaplaceOperator:
         if n_facs:
             dKx, dKy, dKz = self.dK1
             dMx, dMy, dMz = self.dM1
+            # pad z diagonal factors with ones: the trimmed recurrence state
+            # is identically zero in the pad lanes, and 0 / diag needs a
+            # finite nonzero diagonal there
+            zdK = dKz[: n2 * p]
+            zdM = dMz[: n2 * p]
+            if self.zpad:
+                zdK = jnp.pad(zdK, (0, self.zpad), constant_values=1.0)
+                zdM = jnp.pad(zdM, (0, self.zpad), constant_values=1.0)
             operands += [
                 dKx[: N0 - 1].reshape(-1, 1, 1),
                 dMx[: N0 - 1].reshape(-1, 1, 1),
                 dKy[: N1 - 1].reshape(1, -1, 1),
                 dMy[: N1 - 1].reshape(1, -1, 1),
-                dKz[:Z].reshape(1, 1, -1),
-                dMz[:Z].reshape(1, 1, -1),
+                zdK.reshape(1, 1, -1),
+                zdM.reshape(1, 1, -1),
             ]
             in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         if xmask_vec:
@@ -634,15 +689,17 @@ class PallasLaplaceOperator:
             operands.append(b_in)
             in_specs.append(blk_spec)
 
-        trimmed = jax.ShapeDtypeStruct((N0 - 1, N1 - 1, Z), dtype)
         if mode == "apply":
             out_specs = pl.BlockSpec(memory_space=pl.ANY)
-            out_shape = trimmed
+            out_shape = jax.ShapeDtypeStruct((N0 - 1, N1 - 1, Z), dtype)
         else:
             out_specs = (blk_spec,) * n_outs
-            out_shape = (trimmed,) * n_outs
+            out_shape = tuple(
+                jax.ShapeDtypeStruct((N0 - 1, N1 - 1, Z), dt)
+                for dt in out_dtypes
+            )
 
-        scratch = [pltpu.VMEM((2, X, byp + 8, Z), dtype)]
+        scratch = [pltpu.VMEM((2, X, byp + 8, Z), udtype)]
         if mode == "apply":
             scratch.append(pltpu.VMEM((2, X - 1, Y - 1, Z), dtype))
         scratch += [
@@ -670,6 +727,17 @@ class PallasLaplaceOperator:
     vmult = apply
 
 
+def _masked_z_matrices(K1, M1, m1, Zr, Z):
+    """Dirichlet-masked 1D z matrices on the first Zr rows/cols, zero-embedded
+    into [Z, Z] (Z > Zr = lane padding; the zero region makes padded lanes
+    inert in the banded contraction and the z matmuls alike)."""
+    Kzm = np.zeros((Z, Z))
+    Mzm = np.zeros((Z, Z))
+    Kzm[:Zr, :Zr] = (m1[:, None] * K1 * m1[None, :])[:Zr, :Zr]
+    Mzm[:Zr, :Zr] = (m1[:, None] * M1 * m1[None, :])[:Zr, :Zr]
+    return Kzm, Mzm
+
+
 def make_pallas_laplace(
     space: FESpace,
     dtype=jnp.float32,
@@ -677,17 +745,29 @@ def make_pallas_laplace(
     by: int = 8,
     interpret: bool = False,
     core: str = "banded",
+    zpad: int | None = None,
 ) -> PallasLaplaceOperator:
+    """``zpad=None`` (default) pads z lanes per :func:`lane_pad`; an explicit
+    value overrides it (interpret-mode tests exercise padding on tiny
+    grids this way)."""
     if not (interpret or pallas_eligible(space, bx, by)):
         raise ValueError(
-            "pallas operator requires dim==3, n*p % 128 == 0 and "
-            "8-aligned block windows; use make_laplace_auto for fallback"
+            "pallas operator requires dim==3, n*p >= 128 (lanes pad to the "
+            "next 128-multiple) and 8-aligned block windows; use "
+            "make_laplace_auto for fallback"
         )
     if core not in ("banded", "mxu", "mxu3", "hyb3"):
         raise ValueError(f"unknown pallas core: {core!r}")
     p = space.degree
     n = space.mesh.cells_per_axis
-    X, Y, Z = bx * p + 1, by * p + 1, n * p
+    if zpad is None:
+        zpad = lane_pad(space)
+    if zpad and zpad < p:
+        # banded rolls may wrap at most p lanes across the pad boundary;
+        # a pad thinner than p would alias real data (cannot happen for
+        # power-of-two cell counts, but guard explicit overrides)
+        raise ValueError(f"zpad {zpad} must be 0 or >= degree {p}")
+    X, Y, Z = bx * p + 1, by * p + 1, n * p + zpad
     nb = 2 * p + 1
     K1, M1 = assembled_1d_matrices(space)
     m1 = space.free_mask_1d()
@@ -709,8 +789,7 @@ def make_pallas_laplace(
             M[sl, sl] += Mc
         return K, M
 
-    Kzm = (m1[:, None] * K1 * m1[None, :])[:Z, :Z]
-    Mzm = (m1[:, None] * M1 * m1[None, :])[:Z, :Z]
+    Kzm, Mzm = _masked_z_matrices(K1, M1, m1, n * p, Z)
     Kxl, Mxl = local_1d(bx)
     Kyl, Myl = local_1d(by)
     bands = (
@@ -733,6 +812,7 @@ def make_pallas_laplace(
         by=by,
         interpret=interpret,
         core=core,
+        zpad=zpad,
         bands=tuple(jnp.asarray(v, dtype) for v in bands) if core == "banded"
         else None,
         dense_mats=dense_mats,
@@ -787,7 +867,7 @@ def make_resid3_twin(space: FESpace, op, dtype=jnp.float32):
         return None
     if (op.bx, op.by) != (16, 16):
         return None  # smaller blocks compile residual3t fine
-    if space.mesh.cells_per_axis * space.degree < 256:
+    if space.mesh.cells_per_axis * space.degree + op.zpad < 256:
         return None  # 16x16 residual3t compiles below 256 lanes (entry r=5)
     if pallas_eligible(space, 8, 8):
         return make_pallas_laplace(space, dtype, bx=8, by=8, core="banded")
@@ -850,8 +930,7 @@ def make_pallas_slab(
             M[sl, sl] += Mc
         return K, M
 
-    Kzm = (m1[:, None] * K1 * m1[None, :])[:Z, :Z]
-    Mzm = (m1[:, None] * M1 * m1[None, :])[:Z, :Z]
+    Kzm, Mzm = _masked_z_matrices(K1, M1, m1, n * p, Z)
     Kxl, Mxl = local_1d(bx)
     Kyl, Myl = local_1d(by)
     bands = (
@@ -937,8 +1016,7 @@ def make_pallas_slab2d(
             M[sl, sl] += Mc
         return K, M
 
-    Kzm = (m1[:, None] * K1 * m1[None, :])[:Z, :Z]
-    Mzm = (m1[:, None] * M1 * m1[None, :])[:Z, :Z]
+    Kzm, Mzm = _masked_z_matrices(K1, M1, m1, n * p, Z)
     Kxl, Mxl = local_1d(bx)
     Kyl, Myl = local_1d(by)
     bands = (
@@ -994,7 +1072,9 @@ def make_laplace_auto(
     core is fastest at 8x8 (11.7 vs 12.6 at 16x8), so the candidate list is
     core-dependent."""
     if dtype == jnp.float32:
-        lanes = space.mesh.cells_per_axis * space.degree
+        # the Mosaic block-size crash rules key on the KERNEL lane extent,
+        # i.e. the padded count (Q7 r=5: 224 real lanes pad to 256)
+        lanes = space.mesh.cells_per_axis * space.degree + lane_pad(space)
         if lanes <= 256:
             cands = ((16, 16), (8, 8))
         elif core == "banded":

@@ -165,25 +165,35 @@ class TrimmedTransfer:
 
     fine_trimmed: bool = static_field(default=True)
     coarse_trimmed: bool = static_field(default=False)
+    # z-lane padding of each side's trimmed representation (lane-padded
+    # Pallas operators, ops/pallas_laplace.py lane_pad); pad lanes are
+    # identically zero
+    fine_zpad: int = static_field(default=0)
+    coarse_zpad: int = static_field(default=0)
     base: Transfer = None
 
-    def _pad(self, t):
+    def _pad(self, t, zpad):
+        if zpad:
+            t = t[:, :, : t.shape[2] - zpad]
         return jnp.pad(t, ((0, 1),) * t.ndim)
 
-    def _trim(self, t):
-        return t[tuple(slice(0, s - 1) for s in t.shape)]
+    def _trim(self, t, zpad):
+        t = t[tuple(slice(0, s - 1) for s in t.shape)]
+        if zpad:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, zpad)))
+        return t
 
     def restrict(self, f: jnp.ndarray) -> jnp.ndarray:
         if self.fine_trimmed:
-            f = self._pad(f)
+            f = self._pad(f, self.fine_zpad)
         c = self.base.restrict(f)
-        return self._trim(c) if self.coarse_trimmed else c
+        return self._trim(c, self.coarse_zpad) if self.coarse_trimmed else c
 
     def prolongate(self, c: jnp.ndarray) -> jnp.ndarray:
         if self.coarse_trimmed:
-            c = self._pad(c)
+            c = self._pad(c, self.coarse_zpad)
         t = self.base.prolongate(c)
-        return self._trim(t) if self.fine_trimmed else t
+        return self._trim(t, self.fine_zpad) if self.fine_trimmed else t
 
     def prolongate_and_add(self, dst: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
         return dst + self.prolongate(c)

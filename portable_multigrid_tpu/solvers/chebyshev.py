@@ -119,6 +119,14 @@ class FusedChebyshev:
     # fastest there — so smooth() may route its residual half-step through a
     # smaller-block twin.  None = use ``op``.
     op_resid3: object = None
+    # "bf16": store the recurrence r/d streams in bfloat16 (halves the
+    # smoother's HBM traffic on those streams; the x accumulator and every
+    # level residual stay f32, and all in-VMEM arithmetic is f32).  The mxu
+    # recurrence core rounds d to bf16 for its matmuls anyway, so A·d loses
+    # nothing; rounding the stored r perturbs the recurrence only at
+    # recurrence-state scale — iteration-count parity is pinned by
+    # tests/test_pallas_smoother.py.
+    state_dtype: str = static_field(default="f32")
     theta: jnp.ndarray = None
     delta: jnp.ndarray = None
 
@@ -128,6 +136,13 @@ class FusedChebyshev:
 
     def _steps(self, r, d, x, x_is_d: bool = False):
         sigma1 = self.theta / self.delta
+        sdt = self.state_dtype
+        if sdt == "bf16":
+            # recurrence-state streams ride HBM in bf16 (see state_dtype);
+            # entry state from the residual3t kernel is already bf16 — this
+            # cast only matters for the f32 apply()/non-trimmed entries
+            r = r.astype(jnp.bfloat16)
+            d = d.astype(jnp.bfloat16)
 
         def step(carry, _):
             r, d, x, rho = carry
@@ -135,14 +150,14 @@ class FusedChebyshev:
             scal = jnp.stack(
                 [rho_new * rho, 2.0 * rho_new / self.delta]
             ).astype(jnp.float32)
-            r, d, x = self.op_smooth._run("cheb", d, (r, x), scal)
+            r, d, x = self.op_smooth._run("cheb", d, (r, x), scal, sdtype=sdt)
             return (r, d, x, rho_new), None
 
         carry = (r, d, x, 1.0 / sigma1)
         if self.steps_mode == "unroll":
             # unrolled: the first step may skip the duplicate x(==d) read
-            # and the LAST step skips the dead r' write — one fewer full
-            # HBM stream each (modes chebd/chebl/chebdl)
+            # and the LAST step skips the dead r'/d' writes — fewer full
+            # HBM streams (modes chebd/chebl/chebdl)
             n = self.degree - 1
             for k in range(n):
                 r, d, x, rho = carry
@@ -156,12 +171,10 @@ class FusedChebyshev:
                         (True, False): "chebd", (True, True): "chebdl"}[
                     (first_d, last)]
                 bins = (r,) if first_d else (r, x)
-                outs = self.op_smooth._run(mode, d, bins, scal)
+                outs = self.op_smooth._run(mode, d, bins, scal, sdtype=sdt)
                 if last:
-                    d, x = outs
-                    r = None
-                else:
-                    r, d, x = outs
+                    return outs[0]  # only x' is written on the last step
+                r, d, x = outs
                 carry = (r, d, x, rho_new)
             return carry[2]
         carry, _ = jax.lax.scan(
@@ -169,19 +182,39 @@ class FusedChebyshev:
         )
         return carry[2]
 
+    @property
+    def _zpad(self):
+        # lane-padded operators (ops/pallas_laplace.py lane_pad): trimmed
+        # state carries n2*p + zpad z lanes, pad lanes identically zero
+        return getattr(self.op, "zpad", 0)
+
     def _trim(self, b):
         g = self.op.grid_shape
         p = self.op.degree
         Z = self.op.n[2] * p
-        return b.reshape(g)[: g[0] - 1, : g[1] - 1, :Z]
+        bt = b.reshape(g)[: g[0] - 1, : g[1] - 1, :Z]
+        if self._zpad:
+            bt = jnp.pad(bt, ((0, 0), (0, 0), (0, self._zpad)))
+        return bt
+
+    def _pad_full(self, t):
+        """Trimmed (possibly lane-padded) state -> zero-padded full grid."""
+        if self._zpad:
+            t = t[:, :, : self.op.grid_shape[2] - 1]
+        return jnp.pad(t, ((0, 1), (0, 1), (0, 1)))
 
     def _diag_trimmed(self):
         op = self.op
         dK, dM = op.dK1, op.dM1
         g = op.grid_shape
-        x = lambda v, d: v[: g[d] - 1].reshape(
-            [-1 if a == d else 1 for a in range(3)]
-        )
+
+        def x(v, d):
+            v = v[: g[d] - 1]
+            if d == 2 and self._zpad:
+                # pad lanes hold 1.0 (state is zero there; 0/1 stays zero)
+                v = jnp.pad(v, (0, self._zpad), constant_values=1.0)
+            return v.reshape([-1 if a == d else 1 for a in range(3)])
+
         return x(dK[0], 0) * x(dM[1], 1) * x(dM[2], 2) + x(dM[0], 0) * (
             x(dK[1], 1) * x(dM[2], 2) + x(dM[1], 1) * x(dK[2], 2)
         )
@@ -194,7 +227,7 @@ class FusedChebyshev:
         x = self._steps(bt, d0, d0, x_is_d=True)
         if self.trimmed_io:
             return x
-        return jnp.pad(x, ((0, 1), (0, 1), (0, 1)))
+        return self._pad_full(x)
 
     def smooth(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """u + Cheb(rhs - A u), the V-cycle smoothing step, with the
@@ -204,14 +237,18 @@ class FusedChebyshev:
             # r0 + d0 + (x0 = u + d0) in ONE kernel; the recurrence then
             # accumulates into u directly — zero XLA passes per smooth
             rop = self.op_resid3 if self.op_resid3 is not None else self.op
-            r0, d0, x0 = rop._run("residual3t", u, (rhs,), scal)
+            r0, d0, x0 = rop._run(
+                "residual3t", u, (rhs,), scal, sdtype=self.state_dtype
+            )
             return self._steps(r0, d0, x0)
         u = u.reshape(self.op.grid_shape)
-        r0, d0 = self.op._run(
-            "residual", u, (rhs.reshape(self.op.grid_shape),), scal
-        )
+        uk, rk = u, rhs.reshape(self.op.grid_shape)
+        if self._zpad:
+            zp = ((0, 0), (0, 0), (0, self._zpad - 1))
+            uk, rk = jnp.pad(uk, zp), jnp.pad(rk, zp)
+        r0, d0 = self.op._run("residual", uk, (rk,), scal)
         x = self._steps(r0, d0, d0)
-        return u + jnp.pad(x, ((0, 1), (0, 1), (0, 1)))
+        return u + self._pad_full(x)
 
     def residual(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """rhs - A u on the free DoFs (constrained entries read rhs, which
@@ -221,10 +258,12 @@ class FusedChebyshev:
             return r0
         u = u.reshape(self.op.grid_shape)
         scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
-        r0, _ = self.op._run(
-            "residual", u, (rhs.reshape(self.op.grid_shape),), scal
-        )
-        return jnp.pad(r0, ((0, 1), (0, 1), (0, 1)))
+        uk, rk = u, rhs.reshape(self.op.grid_shape)
+        if self._zpad:
+            zp = ((0, 0), (0, 0), (0, self._zpad - 1))
+            uk, rk = jnp.pad(uk, zp), jnp.pad(rk, zp)
+        r0, _ = self.op._run("residual", uk, (rk,), scal)
+        return self._pad_full(r0)
 
 
 def _pseudo_random_grid(shape, dtype) -> np.ndarray:
@@ -358,6 +397,7 @@ def make_chebyshev(
     fused_smoother_op=None,
     trimmed_io: bool = False,
     resid3_op=None,
+    state_dtype: str = "f32",
 ) -> Chebyshev:
     """Set up the smoother for a level operator (host-side; runs eig-CG on device).
 
@@ -410,7 +450,7 @@ def make_chebyshev(
         return FusedChebyshev(
             degree=deg, op=op, op_smooth=fused_smoother_op,
             op_resid3=resid3_op, trimmed_io=trimmed_io,
-            theta=theta, delta=delta,
+            state_dtype=state_dtype, theta=theta, delta=delta,
         )
     return Chebyshev(
         degree=deg,

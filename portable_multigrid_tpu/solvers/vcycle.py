@@ -85,8 +85,13 @@ class VCycle:
         if not self.fine_trimmed:
             return self._cycle(len(self.levels) - 1, src)
         g = self.levels[-1].op.grid_shape
+        zpad = getattr(self.levels[-1].op, "zpad", 0)
         st = src.reshape(g)[tuple(slice(0, s - 1) for s in g)]
+        if zpad:
+            st = jnp.pad(st, ((0, 0), (0, 0), (0, zpad)))
         out = self._cycle(len(self.levels) - 1, st)
+        if zpad:
+            out = out[:, :, : g[2] - 1]
         return jnp.pad(out, ((0, 1),) * len(g))
 
 
@@ -102,16 +107,20 @@ def wire_trimmed(levels):
 
     wired = []
     prev_trim = False
+    prev_zpad = 0
     for lvl in levels:
         trim = bool(getattr(lvl.smoother, "trimmed_io", False))
+        zpad = getattr(lvl.op, "zpad", 0) if trim else 0
         tr = lvl.transfer
         # transfers that already speak trimmed state (TrimmedTransfer,
         # PallasTransfer) expose a coarse_trimmed flag — leave them alone
         if (tr is not None and (trim or prev_trim)
                 and not hasattr(tr, "coarse_trimmed")):
             tr = TrimmedTransfer(
-                fine_trimmed=trim, coarse_trimmed=prev_trim, base=tr
+                fine_trimmed=trim, coarse_trimmed=prev_trim,
+                fine_zpad=zpad, coarse_zpad=prev_zpad, base=tr
             )
         wired.append(MGLevel(op=lvl.op, smoother=lvl.smoother, transfer=tr))
         prev_trim = trim
+        prev_zpad = zpad
     return wired, prev_trim

@@ -209,3 +209,40 @@ def test_mxu3_core_is_f32_faithful():
     got = np.asarray(op.apply(u))
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert err < 5e-6, err
+
+
+def test_bf16_state_smoother_preserves_convergence_counts(base_stats):
+    """state_dtype="bf16" (recurrence r/d streams stored bfloat16, the
+    round-3 HBM-traffic lever) preserves the CG history: the rounded
+    streams are recurrence-state-scale only — every level residual and the
+    x accumulator stay f32 (kernel-side invariant, ops/pallas_laplace.py
+    out_dtypes)."""
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+    from portable_multigrid_tpu.solvers.vcycle import wire_trimmed
+
+    dim, p, r = 3, 4, 2
+    prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    exact = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True
+    )
+    mxu = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="mxu"
+    )
+    lv = list(prob.levels)
+    l = lv[-1]
+    sm = FusedChebyshev(
+        degree=l.smoother.degree, op=exact, op_smooth=mxu,
+        theta=l.smoother.theta, delta=l.smoother.delta, trimmed_io=True,
+        state_dtype="bf16",
+    )
+    lv[-1] = MGLevel(op=exact, smoother=sm, transfer=l.transfer)
+    wired, fine_trim = wire_trimmed(lv)
+    assert fine_trim
+    prob.levels = tuple(wired)
+    prob.fine_trimmed = True
+    _, st = prob.solve()
+    assert st.converged
+    assert st.iterations == base_stats.iterations
+    assert st.solution_l2_norm == pytest.approx(
+        base_stats.solution_l2_norm, rel=1e-7
+    )
