@@ -172,6 +172,11 @@ def main():
                 fused_smoother_op=fused,
                 trimmed_io=trimmed and fused is not None,
                 resid3_op=resid3,
+                # production default (models/poisson.py): recurrence r/d
+                # streams stored bf16 — halves the dominant smoother HBM
+                # traffic, CG counts pinned by tests/test_pallas_smoother.py
+                state_dtype=(os.environ.get("PMG_BENCH_STATE_DTYPE", "bf16")
+                             if fused is not None else "f32"),
             )
         cur_trimmed = bool(getattr(sm, "trimmed_io", False))
         tr = None
