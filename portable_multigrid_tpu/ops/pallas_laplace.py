@@ -69,11 +69,24 @@ def lane_pad(space: FESpace) -> int:
     return 0 if Z < 128 else (-Z) % 128
 
 
-def pallas_eligible(space: FESpace, bx: int = 8, by: int = 8) -> bool:
+def pallas_eligible(
+    space: FESpace, bx: int = 8, by: int = 8, zpad: int | None = None
+) -> bool:
+    """``zpad=None`` uses the default :func:`lane_pad` policy (sub-128-lane
+    grids ineligible).  An explicit ``zpad`` admits any grid whose PADDED
+    lane extent n*p + zpad is a 128-multiple >= 128 — coarse levels (r<=4,
+    n*p < 128) can pad up to one full 128-lane tile so the whole hierarchy
+    stays on the fused kernels (the pad lanes are inert zeros, so the extra
+    z work is pure bandwidth on a level where fixed costs dominate)."""
     n, p = space.mesh.cells_per_axis, space.degree
+    if zpad is None:
+        lanes_ok = n * p >= 128  # z lanes pad up to the next 128-multiple
+    else:
+        Z = n * p + zpad
+        lanes_ok = Z >= 128 and Z % 128 == 0 and (zpad == 0 or zpad >= p)
     return (
         space.dim == 3
-        and n * p >= 128  # z lanes pad up to the next 128-multiple
+        and lanes_ok
         and n % bx == 0
         and n % by == 0
         and (bx * p) % 8 == 0
@@ -750,10 +763,10 @@ def make_pallas_laplace(
     """``zpad=None`` (default) pads z lanes per :func:`lane_pad`; an explicit
     value overrides it (interpret-mode tests exercise padding on tiny
     grids this way)."""
-    if not (interpret or pallas_eligible(space, bx, by)):
+    if not (interpret or pallas_eligible(space, bx, by, zpad)):
         raise ValueError(
-            "pallas operator requires dim==3, n*p >= 128 (lanes pad to the "
-            "next 128-multiple) and 8-aligned block windows; use "
+            "pallas operator requires dim==3, padded lanes n*p + zpad a "
+            "128-multiple >= 128 and 8-aligned block windows; use "
             "make_laplace_auto for fallback"
         )
     if core not in ("banded", "mxu", "mxu3", "hyb3"):
