@@ -1065,6 +1065,13 @@ def make_pallas_slab2d(
     )
 
 
+# Degrees whose BANDED kernel crashes the Mosaic compiler at any block size
+# (p=6: r3 batch-14b/17 bisects — Q5 zpad-384 and Q7 banded compile at the
+# same lane counts, so the crash is degree-specific, not lane-count).  The
+# bf16 mxu core compiles at p=6, so only the exact/banded role is affected.
+_BANDED_CRASH_DEGREES = frozenset({6})
+
+
 def make_laplace_auto(
     space: FESpace, dtype=jnp.float32, precision="high", core: str = "banded"
 ):
@@ -1084,6 +1091,11 @@ def make_laplace_auto(
     for the MXU family (r=7 mxu apply 7.27 ms vs 7.9) while the banded
     core is fastest at 8x8 (11.7 vs 12.6 at 16x8), so the candidate list is
     core-dependent."""
+    if core == "banded" and space.degree in _BANDED_CRASH_DEGREES:
+        # the exact role cannot run the banded kernel at this degree —
+        # fall through to the assembled-Kronecker XLA path (the fused
+        # smoother roles request core="mxu"/"mxu3" and are unaffected)
+        return make_laplace(space, dtype, variant="kron", precision=precision)
     if dtype == jnp.float32:
         # the Mosaic block-size crash rules key on the KERNEL lane extent,
         # i.e. the padded count (Q7 r=5: 224 real lanes pad to 256)
