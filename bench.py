@@ -161,17 +161,27 @@ def main():
             )
         else:
             resid3 = None
+            cheb2 = None
             if trimmed and fused is not None:
                 from portable_multigrid_tpu.ops.pallas_laplace import (
                     make_resid3_twin,
                 )
 
                 resid3 = make_resid3_twin(sp, lop, dtype)
+                if os.environ.get("PMG_BENCH_CHEB2", "1") == "1":
+                    # two-step fused recurrence pairs: one HBM pass per
+                    # pair of Chebyshev steps (ops/pallas_cheb2.py)
+                    from portable_multigrid_tpu.ops.pallas_cheb2 import (
+                        make_cheb2_auto,
+                    )
+
+                    cheb2 = make_cheb2_auto(sp, dtype)
             sm = make_chebyshev(
                 lop, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
                 fused_smoother_op=fused,
                 trimmed_io=trimmed and fused is not None,
                 resid3_op=resid3,
+                cheb2_op=cheb2,
                 # production default (models/poisson.py): recurrence r/d
                 # streams stored bf16 — halves the dominant smoother HBM
                 # traffic, CG counts pinned by tests/test_pallas_smoother.py

@@ -16,6 +16,7 @@ the loop body).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -78,10 +79,18 @@ def _build_level(
         )
     else:
         resid3 = None
+        cheb2 = None
         if fused is not None:
             from ..ops.pallas_laplace import make_resid3_twin
 
             resid3 = make_resid3_twin(space, op, dtype)
+            if os.environ.get("PMG_CHEB2", "1") == "1":
+                # two-step fused recurrence pairs (ops/pallas_cheb2.py):
+                # one HBM pass per pair of Chebyshev steps; CG-count parity
+                # pinned in tests/test_pallas_cheb2.py
+                from ..ops.pallas_cheb2 import make_cheb2_auto
+
+                cheb2 = make_cheb2_auto(space, dtype)
         smoother = make_chebyshev(
             op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
             fused_smoother_op=fused,
@@ -93,6 +102,7 @@ def _build_level(
             trimmed_io=fused is not None,
             resid3_op=resid3,
             state_dtype="bf16" if fused is not None else "f32",
+            cheb2_op=cheb2,
         )
     return op, smoother
 

@@ -1,0 +1,486 @@
+"""Two-step fused Chebyshev kernel: TWO recurrence steps per HBM pass.
+
+The single-step fused "cheb" mode (ops/pallas_laplace.py:_run) already runs
+at ~80% of its HBM stream bound, so the only way further is algorithmic:
+fuse recurrence steps so the r/d/x streams cross HBM once per PAIR of steps
+instead of once per step.  This kernel computes
+
+    r1 = r  - M A M d            d1 = c0a d  + (c1a / diag) r1
+    r2 = r1 - M A M d1           d2 = c0b d1 + (c1b / diag) r2
+    x2 = x + d1 + d2
+
+in one pass: 3 reads + 3 writes for two steps (the unfused pair costs
+6 + 6).  The catch is that the second application A d1 needs d1 COMPLETED
+within the stencil radius p of every output point, which the one-step
+kernel's sequential carry planes cannot provide (the next block has not run
+yet).  Instead of carries, each grid block reads a HALO-EXTENDED window of
+the d stream (2p extra rows per side in x and y), computes step one
+redundantly on a +/-p extended region, and derives step two exactly on the
+interior block — trading a ~1.2-1.4x compute overlap for halving the
+smoother's HBM traffic, the classic overlapped-halo trick of stencil
+time-tiling.  The matrices are window slices of the GLOBAL mask-folded
+assembled 1D operators (translation handled by per-block matrix stacks), so
+no carry completion is needed: every in-window output row is exact.
+
+Contractions run the "mxu" scheme of ops/pallas_laplace.py (bf16 operands,
+f32 accumulation on the systolic array) — smoother-grade, the same engine
+the production recurrence already uses; convergence-count preservation is
+pinned by tests/test_pallas_cheb2.py.
+
+Reference being accelerated: the Chebyshev smoother loop of
+deal.II's PreconditionChebyshev as consumed by the reference driver
+(reference: source/geometric_multigrid/program.cc:259-287); the reference
+has no analog of cross-step fusion — each smoother step is a full
+vmult + vector updates (include/multigrid/portable_v_cycle_multigrid.h:96-126).
+
+State convention: TRIMMED recurrence state (the fused pipeline's native
+representation — global last planes dropped, constrained entries
+identically zero), identical to the single-step "cheb" mode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fem.space import FESpace
+from ..utils.pytree import pytree_dataclass, static_field
+from .laplace import assembled_1d_matrices, diagonal_1d_factors
+from .pallas_laplace import _masked_z_matrices, lane_pad, pallas_eligible
+
+
+def _roundup8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def cheb2_eligible(space: FESpace, bx: int, by: int,
+                   zpad: int | None = None) -> bool:
+    """Pallas eligibility plus the window-geometry constraints: the halo'd
+    y windows must start 8-aligned (block rows >= the rounded halo) and the
+    x halo must fit inside one neighbouring block."""
+    if not pallas_eligible(space, bx, by, zpad):
+        return False
+    p = space.degree
+    return bx * p >= 2 * p and by * p >= _roundup8(2 * p)
+
+
+def _win_stack(G: np.ndarray, nb: int, blk: int, row_off: int, rows: int,
+               col_off: int, cols: int) -> np.ndarray:
+    """Per-block window slices of the global matrix ``G``:
+    out[b][a, c] = G[b*blk - row_off + a, b*blk - col_off + c]
+    (zero outside the global extent)."""
+    N = G.shape[0]
+    out = np.zeros((nb, rows, cols), G.dtype)
+    for b in range(nb):
+        r0 = b * blk - row_off
+        c0 = b * blk - col_off
+        ra, rb = max(0, -r0), min(rows, N - r0)
+        ca, cb = max(0, -c0), min(cols, N - c0)
+        if ra < rb and ca < cb:
+            out[b, ra:rb, ca:cb] = G[r0 + ra: r0 + rb, c0 + ca: c0 + cb]
+    return out
+
+
+def _fac_stack(g: np.ndarray, N: int, nb: int, blk: int, off: int,
+               ext: int) -> np.ndarray:
+    """Per-block window slices of a 1D diagonal factor (fill 1.0 outside the
+    trimmed extent: state is identically zero there, 0/1 stays zero)."""
+    out = np.ones((nb, ext), np.float64)
+    for b in range(nb):
+        r0 = b * blk - off
+        ra, rb = max(0, -r0), min(ext, N - r0)
+        if ra < rb:
+            out[b, ra:rb] = g[r0 + ra: r0 + rb]
+    return out
+
+
+@pytree_dataclass
+class Cheb2Kernel:
+    """Two-step fused Chebyshev recurrence kernel (see module docstring).
+
+    Modes of :meth:`steps2`:
+      * "cheb2":   inputs (d, r, x), outputs (r2, d2, x2);
+      * "cheb2l":  pair ENDS the recurrence — only x2 is written;
+      * "chebd2":  x == d on entry (zero-initial-guess first pair), the x
+                   read is skipped; outputs (r2, d2, x2);
+      * "chebd2l": both (degree-3 smoother in one launch): only x2.
+    """
+
+    degree: int = static_field()
+    n: tuple = static_field()
+    bx: int = static_field()
+    by: int = static_field()
+    zpad: int = static_field(default=0)
+    interpret: bool = static_field(default=False)
+    # exact=True stores f32 matrices and skips the bf16 data rounding —
+    # interpret-mode testing only (f32 non-default-precision dots crash
+    # Mosaic on the x pattern; the production grade is bf16 "mxu")
+    exact: bool = static_field(default=False)
+    mats: tuple = None  # (Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2K.., S2M..)
+    facs: tuple = None  # (f1xK, f1xM, f1yK, f1yM, f2xK.., f2yM.., fzK, fzM)
+
+    def steps2(self, d, r, x, scal, mode: str = "cheb2",
+               sdtype: str = "f32"):
+        p = self.degree
+        n0, n1, n2 = self.n
+        bx, by = self.bx, self.by
+        bxp, byp = bx * p, by * p
+        nbi, nbj = n0 // bx, n1 // by
+        N0t, N1t = n0 * p, n1 * p
+        Z = n2 * p + self.zpad
+        Hd = _roundup8(2 * p)  # d-window y halo (8-aligned DMA starts)
+        Hr = _roundup8(p)
+        Wx, Wy = bxp + 4 * p, byp + 2 * Hd  # d window (x halo exact: outer
+        Rx, Ry = bxp + 2 * p, byp + 2 * Hr  # dim slices are alignment-free)
+        E1x, E1y = bxp + 2 * p, byp + 2 * p  # step-1 extended region
+        f32 = jnp.float32
+        sd = jnp.bfloat16 if sdtype == "bf16" else f32
+        has_x = mode in ("cheb2", "cheb2l")
+        last = mode in ("cheb2l", "chebd2l")
+        out_dtypes = (f32,) if last else (sd, sd, f32)
+        n_outs = len(out_dtypes)
+        ddt, rdt = d.dtype, r.dtype
+
+        n_mats = len(self.mats)
+        n_facs = len(self.facs)
+
+        def kernel(d_hbm, r_hbm, *refs):
+            (Kz_r, Mz_r, s1kx, s1mx, s1ky, s1my,
+             s2kx, s2mx, s2ky, s2my) = refs[:n_mats]
+            pos = n_mats
+            (f1xk, f1xm, f1yk, f1ym, f2xk, f2xm, f2yk, f2ym,
+             fzk, fzm) = refs[pos: pos + n_facs]
+            pos += n_facs
+            scal_r = refs[pos]
+            pos += 1
+            if has_x:
+                x_r = refs[pos]
+                pos += 1
+            out_refs = refs[pos: pos + n_outs]
+            (slab_d, slab_r, sems) = refs[pos + n_outs:]
+
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            k = i * nbj + j
+            islot = jax.lax.rem(k, jnp.int32(2))
+
+            def axis_cases(ii, nb, blk, halo, W, Nt):
+                """(pred, src_start, rows, dst_off) DMA cases along one axis
+                (None pred = unconditional).  Static sizes per case — Mosaic
+                DMA extents must be compile-time constants."""
+                if nb == 1:
+                    return [(None, 0, min(blk, Nt), halo)]
+                cases = [(ii == 0, 0, blk + halo, halo)]
+                if nb > 2:
+                    cases.append((
+                        jnp.logical_and(ii > 0, ii < nb - 1),
+                        ii * blk - halo, W, 0,
+                    ))
+                cases.append((ii == nb - 1, ii * blk - halo, blk + halo, 0))
+                return cases
+
+            def fetch(slot, ii, jj, slab, hbm, hx, hy, W0, W1, sem, start):
+                for (px, xs, xr, xo) in axis_cases(ii, nbi, bxp, hx, W0, N0t):
+                    for (py, ys, yr, yo) in axis_cases(
+                            jj, nbj, byp, hy, W1, N1t):
+
+                        def do(xs=xs, xr=xr, xo=xo, ys=ys, yr=yr, yo=yo):
+                            cp = pltpu.make_async_copy(
+                                hbm.at[pl.ds(xs, xr), pl.ds(ys, yr),
+                                       pl.ds(0, Z)],
+                                slab.at[slot, xo: xo + xr, yo: yo + yr, :],
+                                sems.at[sem + slot],
+                            )
+                            cp.start() if start else cp.wait()
+
+                        if px is None and py is None:
+                            do()
+                        elif px is None:
+                            pl.when(py)(do)
+                        elif py is None:
+                            pl.when(px)(do)
+                        else:
+                            pl.when(jnp.logical_and(px, py))(do)
+
+            def zero_strips(slot, ii, jj, slab, hx, hy, W0, W1, dt):
+                def zx(lo, n_):
+                    slab[slot, lo: lo + n_, :, :] = jnp.zeros((n_, W1, Z), dt)
+
+                def zy(lo, n_):
+                    slab[slot, :, lo: lo + n_, :] = jnp.zeros((W0, n_, Z), dt)
+
+                pl.when(ii == 0)(lambda: zx(0, hx))
+                pl.when(ii == nbi - 1)(lambda: zx(W0 - hx, hx))
+                pl.when(jj == 0)(lambda: zy(0, hy))
+                pl.when(jj == nbj - 1)(lambda: zy(W1 - hy, hy))
+
+            def start_fetch(slot, ii, jj):
+                zero_strips(slot, ii, jj, slab_d, 2 * p, Hd, Wx, Wy, ddt)
+                zero_strips(slot, ii, jj, slab_r, p, Hr, Rx, Ry, rdt)
+                fetch(slot, ii, jj, slab_d, d_hbm, 2 * p, Hd, Wx, Wy, 0,
+                      True)
+                fetch(slot, ii, jj, slab_r, r_hbm, p, Hr, Rx, Ry, 2, True)
+
+            @pl.when(k == 0)
+            def _():
+                start_fetch(jnp.int32(0), i, j)
+
+            @pl.when(k + 1 < nbi * nbj)
+            def _():
+                k1 = k + 1
+                start_fetch(1 - islot, k1 // nbj,
+                            jax.lax.rem(k1, jnp.int32(nbj)))
+
+            fetch(islot, i, j, slab_d, d_hbm, 2 * p, Hd, Wx, Wy, 0, False)
+            fetch(islot, i, j, slab_r, r_hbm, p, Hr, Rx, Ry, 2, False)
+
+            # ---- contraction engine (bf16 MXU, f32 accumulation) ----------
+            bf16 = jnp.bfloat16
+            # interpret mode (CPU) cannot execute some bf16 x bf16 dot
+            # shapes ("DotThunk"): run the bf16-ROUNDED values through f32
+            # dots — identical products (pallas_coarse.py pattern)
+            up = ((lambda v: v.astype(f32)) if self.interpret
+                  else (lambda v: v))
+            cvt = ((lambda t: t.astype(f32)) if self.exact
+                   else (lambda t: up(t.astype(bf16))))
+
+            def dz(t, w_r):
+                return jax.lax.dot_general(
+                    cvt(t), up(w_r[...]), (((2,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+
+            def dy(t, w2):
+                w3 = jnp.broadcast_to(up(w2)[None],
+                                      (t.shape[0],) + w2.shape)
+                return jax.lax.dot_general(
+                    w3, cvt(t), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32)
+
+            def dx(t, w2):
+                return jax.lax.dot_general(
+                    up(w2), cvt(t), (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+
+            def apply_op(t, kx, mx, ky, my):
+                b = dz(t, Mz_r)
+                a = dz(t, Kz_r)
+                mb = dy(b, my)
+                kb = dy(b, ky)
+                ma = dy(a, my)
+                return dx(mb, kx) + dx(kb + ma, mx)
+
+            c0a = scal_r[0, 0]
+            c1a = scal_r[0, 1]
+            c0b = scal_r[0, 2]
+            c1b = scal_r[0, 3]
+            fz_k, fz_m = fzk[...], fzm[...]
+
+            # ---- step one on the +/-p extended region ---------------------
+            raw1 = apply_op(slab_d[islot], s1kx[0], s1mx[0], s1ky[0],
+                            s1my[0])
+            r1 = slab_r[islot, 0:E1x, Hr - p: Hr - p + E1y, :].astype(
+                f32) - raw1
+            diag1 = (f1xk[0] * f1ym[0] * fz_m
+                     + f1xm[0] * (f1yk[0] * fz_m + f1ym[0] * fz_k))
+            dE1 = slab_d[islot, p: p + E1x, Hd - p: Hd - p + E1y, :].astype(
+                f32)
+            d1 = c0a * dE1 + (c1a / diag1) * r1
+
+            # ---- step two, exact on the interior block --------------------
+            raw2 = apply_op(d1, s2kx[0], s2mx[0], s2ky[0], s2my[0])
+            r1i = r1[p: p + bxp, p: p + byp, :]
+            d1i = d1[p: p + bxp, p: p + byp, :]
+            r2 = r1i - raw2
+            diag2 = (f2xk[0] * f2ym[0] * fz_m
+                     + f2xm[0] * (f2yk[0] * fz_m + f2ym[0] * fz_k))
+            d2 = c0b * d1i + (c1b / diag2) * r2
+            if has_x:
+                xb = x_r[...]
+            else:
+                xb = slab_d[islot, 2 * p: 2 * p + bxp,
+                            Hd: Hd + byp, :].astype(f32)
+            x2 = xb + d1i + d2
+            if last:
+                out_refs[0][...] = x2
+            else:
+                out_refs[0][...] = r2.astype(out_dtypes[0])
+                out_refs[1][...] = d2.astype(out_dtypes[1])
+                out_refs[2][...] = x2
+
+        blk_spec = pl.BlockSpec((bxp, byp, Z), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+
+        def bspec(shape, which):
+            idx = ((lambda i, j: (i,) + (0,) * (len(shape) - 1))
+                   if which == "i"
+                   else (lambda i, j: (j,) + (0,) * (len(shape) - 1)))
+            return pl.BlockSpec((1,) + shape[1:], idx,
+                                memory_space=pltpu.VMEM)
+
+        (Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2Kx, S2Mx, S2Ky, S2My) = self.mats
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),  # d
+            pl.BlockSpec(memory_space=pl.ANY),  # r
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Kz
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Mz
+            bspec(S1Kx.shape, "i"), bspec(S1Mx.shape, "i"),
+            bspec(S1Ky.shape, "j"), bspec(S1My.shape, "j"),
+            bspec(S2Kx.shape, "i"), bspec(S2Mx.shape, "i"),
+            bspec(S2Ky.shape, "j"), bspec(S2My.shape, "j"),
+        ]
+        operands = [d, r, Kz, Mz, S1Kx, S1Mx, S1Ky, S1My,
+                    S2Kx, S2Mx, S2Ky, S2My]
+        (f1xK, f1xM, f1yK, f1yM, f2xK, f2xM, f2yK, f2yM, fzK, fzM) = self.facs
+        for f in (f1xK, f1xM):
+            in_specs.append(bspec(f.shape, "i"))
+        for f in (f1yK, f1yM):
+            in_specs.append(bspec(f.shape, "j"))
+        for f in (f2xK, f2xM):
+            in_specs.append(bspec(f.shape, "i"))
+        for f in (f2yK, f2yM):
+            in_specs.append(bspec(f.shape, "j"))
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2  # fzK, fzM
+        operands += [f1xK, f1xM, f1yK, f1yM, f2xK, f2xM, f2yK, f2yM,
+                     fzK, fzM]
+        operands.append(jnp.asarray(scal, jnp.float32).reshape(1, 4))
+        in_specs.append(pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        if has_x:
+            operands.append(x)
+            in_specs.append(blk_spec)
+
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((N0t, N1t, Z), dt) for dt in out_dtypes
+        )
+        fn = pl.pallas_call(
+            kernel,
+            grid=(nbi, nbj),
+            in_specs=in_specs,
+            out_specs=(blk_spec,) * n_outs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, Wx, Wy, Z), ddt),
+                pltpu.VMEM((2, Rx, Ry, Z), rdt),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+            interpret=self.interpret,
+        )
+        return fn(*operands)
+
+
+def make_cheb2(
+    space: FESpace,
+    dtype=jnp.float32,
+    bx: int = 16,
+    by: int = 8,
+    zpad: int | None = None,
+    interpret: bool = False,
+    exact: bool = False,
+) -> Cheb2Kernel:
+    """Build the two-step kernel for a pallas-eligible level."""
+    if not (interpret or cheb2_eligible(space, bx, by, zpad)):
+        raise ValueError("level not eligible for the cheb2 kernel")
+    p = space.degree
+    n = space.mesh.cells_per_axis
+    if zpad is None:
+        zpad = lane_pad(space)
+    bxp, byp = bx * p, by * p
+    nbi, nbj = n // bx, n // by
+    Nt = n * p
+    Z = Nt + zpad
+    Hd = _roundup8(2 * p)
+    Wx, Wy = bxp + 4 * p, byp + 2 * Hd
+    E1x, E1y = bxp + 2 * p, byp + 2 * p
+
+    K1, M1 = assembled_1d_matrices(space)
+    m1 = space.free_mask_1d()
+    Kg = (m1[:, None] * K1 * m1[None, :])[:Nt, :Nt]
+    Mg = (m1[:, None] * M1 * m1[None, :])[:Nt, :Nt]
+    Kzm, Mzm = _masked_z_matrices(K1, M1, m1, Nt, Z)
+
+    mdt = jnp.float32 if exact else jnp.bfloat16
+    mats = (
+        jnp.asarray(Kzm, mdt),
+        jnp.asarray(Mzm, mdt),
+        # step 1: rows = +/-p extended region, cols = the d window
+        jnp.asarray(_win_stack(Kg, nbi, bxp, p, E1x, 2 * p, Wx), mdt),
+        jnp.asarray(_win_stack(Mg, nbi, bxp, p, E1x, 2 * p, Wx), mdt),
+        jnp.asarray(_win_stack(Kg, nbj, byp, p, E1y, Hd, Wy), mdt),
+        jnp.asarray(_win_stack(Mg, nbj, byp, p, E1y, Hd, Wy), mdt),
+        # step 2: rows = interior block, cols = the step-1 region
+        jnp.asarray(_win_stack(Kg, nbi, bxp, 0, bxp, p, E1x), mdt),
+        jnp.asarray(_win_stack(Mg, nbi, bxp, 0, bxp, p, E1x), mdt),
+        jnp.asarray(_win_stack(Kg, nbj, byp, 0, byp, p, E1y), mdt),
+        jnp.asarray(_win_stack(Mg, nbj, byp, 0, byp, p, E1y), mdt),
+    )
+    gK, gM = diagonal_1d_factors(space)
+    zdK = np.asarray(gK[:Nt], np.float64)
+    zdM = np.asarray(gM[:Nt], np.float64)
+    if zpad:
+        zdK = np.pad(zdK, (0, zpad), constant_values=1.0)
+        zdM = np.pad(zdM, (0, zpad), constant_values=1.0)
+
+    def xs(g, off, ext):
+        return jnp.asarray(
+            _fac_stack(g, Nt, nbi, bxp, off, ext)[:, :, None, None], dtype)
+
+    def ys(g, off, ext):
+        return jnp.asarray(
+            _fac_stack(g, Nt, nbj, byp, off, ext)[:, None, :, None], dtype)
+
+    facs = (
+        xs(gK, p, E1x), xs(gM, p, E1x),
+        ys(gK, p, E1y), ys(gM, p, E1y),
+        xs(gK, 0, bxp), xs(gM, 0, bxp),
+        ys(gK, 0, byp), ys(gM, 0, byp),
+        jnp.asarray(zdK.reshape(1, 1, -1), dtype),
+        jnp.asarray(zdM.reshape(1, 1, -1), dtype),
+    )
+    return Cheb2Kernel(
+        degree=p,
+        n=(n,) * space.dim,
+        bx=bx,
+        by=by,
+        zpad=zpad,
+        interpret=interpret,
+        exact=exact,
+        mats=mats,
+        facs=facs,
+    )
+
+
+def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
+                    interpret: bool = False):
+    """Block-size auto-pick with a VMEM budget estimate; None if no
+    eligible configuration fits."""
+    p = space.degree
+    n = space.mesh.cells_per_axis
+    Z = n * p + lane_pad(space)
+    for bx, by in ((16, 8), (8, 8), (16, 16)) if Z <= 256 else (
+            (16, 8), (8, 8)):
+        if not cheb2_eligible(space, bx, by):
+            continue
+        bxp, byp = bx * p, by * p
+        Hd = _roundup8(2 * p)
+        Hr = _roundup8(p)
+        Wx, Wy = bxp + 4 * p, byp + 2 * Hd
+        Rx, Ry = bxp + 2 * p, byp + 2 * Hr
+        E1x, E1y = bxp + 2 * p, byp + 2 * p
+        est = 4 * (
+            2 * Wx * Wy * Z // 2       # d slabs (bf16)
+            + 2 * Rx * Ry * Z // 2     # r slabs (bf16)
+            + 2 * bxp * byp * Z        # x blocked in (f32, pipelined x2)
+            + 2 * 2 * bxp * byp * Z    # outs (r2+d2 bf16 + x2 f32) x2
+            + 7 * Wx * Wy * Z          # live step-1 intermediates (f32)
+            + 5 * E1x * E1y * Z        # live step-2 intermediates
+        )
+        if est < 110 * 1024 * 1024:
+            return make_cheb2(space, dtype, bx=bx, by=by,
+                              interpret=interpret)
+    return None

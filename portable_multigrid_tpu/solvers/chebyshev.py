@@ -127,6 +127,12 @@ class FusedChebyshev:
     # recurrence-state scale — iteration-count parity is pinned by
     # tests/test_pallas_smoother.py.
     state_dtype: str = static_field(default="f32")
+    # optional two-step fused kernel (ops/pallas_cheb2.py): consecutive
+    # recurrence steps run in PAIRS, one HBM pass per pair (halo-extended
+    # windows + redundant edge compute instead of carry planes).  The
+    # in-VMEM intermediate state is f32 regardless of state_dtype, so a
+    # paired recurrence is numerically at least as accurate as single steps.
+    op_cheb2: object = None
     theta: jnp.ndarray = None
     delta: jnp.ndarray = None
 
@@ -157,15 +163,37 @@ class FusedChebyshev:
         if self.steps_mode == "unroll":
             # unrolled: the first step may skip the duplicate x(==d) read
             # and the LAST step skips the dead r'/d' writes — fewer full
-            # HBM streams (modes chebd/chebl/chebdl)
+            # HBM streams (modes chebd/chebl/chebdl).  With op_cheb2 set,
+            # consecutive steps are consumed in PAIRS through the two-step
+            # fused kernel (one HBM pass per pair).
             n = self.degree - 1
-            for k in range(n):
-                r, d, x, rho = carry
+            rho = 1.0 / sigma1
+            k = 0
+            while k < n:
                 rho_new = 1.0 / (2.0 * sigma1 - rho)
-                scal = jnp.stack(
-                    [rho_new * rho, 2.0 * rho_new / self.delta]
-                ).astype(jnp.float32)
+                c0a = rho_new * rho
+                c1a = 2.0 * rho_new / self.delta
                 first_d = x_is_d and k == 0
+                if self.op_cheb2 is not None and k + 1 < n:
+                    rho2 = 1.0 / (2.0 * sigma1 - rho_new)
+                    scal = jnp.stack(
+                        [c0a, c1a, rho2 * rho_new, 2.0 * rho2 / self.delta]
+                    ).astype(jnp.float32)
+                    last = k + 2 == n
+                    mode = {(False, False): "cheb2", (False, True): "cheb2l",
+                            (True, False): "chebd2", (True, True): "chebd2l"
+                            }[(first_d, last)]
+                    outs = self.op_cheb2.steps2(
+                        d, r, None if first_d else x, scal, mode,
+                        sdtype=sdt,
+                    )
+                    if last:
+                        return outs[0]
+                    r, d, x = outs
+                    rho = rho2
+                    k += 2
+                    continue
+                scal = jnp.stack([c0a, c1a]).astype(jnp.float32)
                 last = k == n - 1
                 mode = {(False, False): "cheb", (False, True): "chebl",
                         (True, False): "chebd", (True, True): "chebdl"}[
@@ -175,8 +203,9 @@ class FusedChebyshev:
                 if last:
                     return outs[0]  # only x' is written on the last step
                 r, d, x = outs
-                carry = (r, d, x, rho_new)
-            return carry[2]
+                rho = rho_new
+                k += 1
+            return x
         carry, _ = jax.lax.scan(
             step, carry, None, length=self.degree - 1
         )
@@ -398,6 +427,7 @@ def make_chebyshev(
     trimmed_io: bool = False,
     resid3_op=None,
     state_dtype: str = "f32",
+    cheb2_op=None,
 ) -> Chebyshev:
     """Set up the smoother for a level operator (host-side; runs eig-CG on device).
 
@@ -450,7 +480,8 @@ def make_chebyshev(
         return FusedChebyshev(
             degree=deg, op=op, op_smooth=fused_smoother_op,
             op_resid3=resid3_op, trimmed_io=trimmed_io,
-            state_dtype=state_dtype, theta=theta, delta=delta,
+            state_dtype=state_dtype, op_cheb2=cheb2_op,
+            theta=theta, delta=delta,
         )
     return Chebyshev(
         degree=deg,

@@ -1,0 +1,119 @@
+"""Two-step fused Chebyshev kernel (ops/pallas_cheb2.py), interpret mode.
+
+Equivalence ladder:
+  1. exact-mode kernel (f32 matrices, no bf16 rounding) == the single-step
+     fused smoother to f32 roundoff, for apply() (x0 = 0, chebd2 entry) and
+     smooth() (residual3t entry) across block/edge configurations;
+  2. the production bf16 pair kernel preserves CG convergence counts in a
+     full mixed-precision solve (the same bar the single-step bf16 core and
+     bf16 state streams had to clear, tests/test_pallas_smoother.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from portable_multigrid_tpu.fem.mesh import HyperCubeMesh
+from portable_multigrid_tpu.fem.space import FESpace
+from portable_multigrid_tpu.models.mixed import MixedPrecisionPoisson
+from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2
+from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+from portable_multigrid_tpu.solvers.vcycle import MGLevel, wire_trimmed
+
+
+def _masked_state(sp, op, seed):
+    rng = np.random.default_rng(seed)
+    m = np.asarray(op.mask)
+    b = jnp.asarray(rng.standard_normal(sp.grid_shape) * m, jnp.float32)
+    u = jnp.asarray(rng.standard_normal(sp.grid_shape) * m, jnp.float32)
+    tt = lambda a: jnp.asarray(np.asarray(a)[:-1, :-1, :-1])
+    return tt(b), tt(u)
+
+
+@pytest.mark.parametrize(
+    "p,n,b,deg",
+    [
+        (2, 8, 4, 5),   # 2x2 blocks: every block is an edge block
+        (2, 16, 4, 5),  # 4x4 blocks: interior windows + both edges
+        (4, 4, 2, 5),   # production degree, bxp == 2p (minimum halo fit)
+        (2, 8, 4, 4),   # odd step count: one pair + a single trailing step
+        (2, 8, 8, 5),   # single block per axis (nbi == nbj == 1)
+    ],
+)
+def test_cheb2_pairs_match_single_steps(p, n, b, deg):
+    sp = FESpace(HyperCubeMesh(3, int(np.log2(n))), p)
+    assert sp.mesh.cells_per_axis == n
+    op = make_pallas_laplace(sp, jnp.float32, bx=b, by=b, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    base = FusedChebyshev(degree=deg, op=op, op_smooth=op, theta=theta,
+                          delta=delta, trimmed_io=True)
+    k2 = make_cheb2(sp, jnp.float32, bx=b, by=b, interpret=True, exact=True)
+    paired = FusedChebyshev(degree=deg, op=op, op_smooth=op, theta=theta,
+                            delta=delta, trimmed_io=True, op_cheb2=k2)
+    bt, ut = _masked_state(sp, op, 0)
+
+    za, zb = np.asarray(base.apply(bt)), np.asarray(paired.apply(bt))
+    assert np.abs(za - zb).max() <= 2e-5 * np.abs(za).max()
+    sa = np.asarray(base.smooth(ut, bt))
+    sb = np.asarray(paired.smooth(ut, bt))
+    assert np.abs(sa - sb).max() <= 2e-5 * np.abs(sa).max()
+
+
+def test_cheb2_bf16_state_roundtrip():
+    """bf16 r/d streams through the pair kernel: outputs stay finite and
+    close to the f32-stream pair (stream rounding only — in-VMEM math is
+    f32 in both)."""
+    sp = FESpace(HyperCubeMesh(3, 3), 2)
+    op = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    k2 = make_cheb2(sp, jnp.float32, bx=4, by=4, interpret=True, exact=True)
+    f32p = FusedChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                          delta=delta, trimmed_io=True, op_cheb2=k2)
+    bf = FusedChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                        delta=delta, trimmed_io=True, op_cheb2=k2,
+                        state_dtype="bf16")
+    bt, ut = _masked_state(sp, op, 2)
+    sa = np.asarray(f32p.smooth(ut, bt))
+    sb = np.asarray(bf.smooth(ut, bt))
+    assert np.isfinite(sb).all()
+    assert np.abs(sa - sb).max() <= 3e-2 * np.abs(sa).max()
+
+
+def test_cheb2_smoother_preserves_convergence_counts():
+    """Production grade (bf16 matrices + bf16 state streams) pair kernel in
+    the fine-level smoother: CG history of the mixed-precision solve is
+    unchanged."""
+    dim, p, r = 3, 4, 2
+    base = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    _, st_base = base.solve()
+
+    prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    exact = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True
+    )
+    mxu = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="mxu"
+    )
+    k2 = make_cheb2(prob.spaces[-1], jnp.float32, bx=4, by=4,
+                    interpret=True)
+    lv = list(prob.levels)
+    l = lv[-1]
+    sm = FusedChebyshev(
+        degree=l.smoother.degree, op=exact, op_smooth=mxu, op_cheb2=k2,
+        theta=l.smoother.theta, delta=l.smoother.delta, trimmed_io=True,
+        state_dtype="bf16",
+    )
+    lv[-1] = MGLevel(op=exact, smoother=sm, transfer=l.transfer)
+    wired, fine_trim = wire_trimmed(lv)
+    assert fine_trim
+    prob.levels = tuple(wired)
+    prob.fine_trimmed = True
+    _, st = prob.solve()
+    assert st.converged
+    assert st.iterations == st_base.iterations
+    assert st.solution_l2_norm == pytest.approx(
+        st_base.solution_l2_norm, rel=1e-7
+    )
