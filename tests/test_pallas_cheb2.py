@@ -61,6 +61,30 @@ def test_cheb2_pairs_match_single_steps(p, n, b, deg):
     assert np.abs(sa - sb).max() <= 2e-5 * np.abs(sa).max()
 
 
+def test_cheb2_pairs_match_with_zpad():
+    """Lane-padded state (Q5/Q7-style zpad): pad lanes stay identically
+    zero through the pair kernel and results match the single-step path."""
+    p, n, b, zp = 4, 4, 2, 4
+    sp = FESpace(HyperCubeMesh(3, 2), p)
+    op = make_pallas_laplace(sp, jnp.float32, bx=b, by=b, interpret=True,
+                             zpad=zp)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    base = FusedChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                          delta=delta, trimmed_io=True)
+    k2 = make_cheb2(sp, jnp.float32, bx=b, by=b, zpad=zp, interpret=True,
+                    exact=True)
+    paired = FusedChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                            delta=delta, trimmed_io=True, op_cheb2=k2)
+    bt, ut = _masked_state(sp, op, 3)
+    zpad3 = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, zp)))
+    bt, ut = zpad3(bt), zpad3(ut)
+    sa = np.asarray(base.smooth(ut, bt))
+    sb = np.asarray(paired.smooth(ut, bt))
+    assert np.abs(sa - sb).max() <= 2e-5 * np.abs(sa).max()
+    assert np.abs(sb[:, :, -zp:]).max() == 0.0
+
+
 def test_cheb2_bf16_state_roundtrip():
     """bf16 r/d streams through the pair kernel: outputs stay finite and
     close to the f32-stream pair (stream rounding only — in-VMEM math is
