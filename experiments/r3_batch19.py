@@ -58,6 +58,24 @@ ok_88 = probe("cheb2_compile_8x8", lambda: cheb2_compile(8, 8))
 probe("cheb2_compile_16x16", lambda: cheb2_compile(16, 16))
 
 
+def cheb2f0_compile(bx, by, r=6, p=4):
+    from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2
+
+    sp = FESpace(HyperCubeMesh(3, r), p)
+    k2 = make_cheb2(sp, jnp.float32, bx=bx, by=by)
+    g = tuple(s - 1 for s in sp.grid_shape)
+    b = jnp.zeros(g, jnp.float32)
+    scal = jnp.asarray([0.5, 0.25, 0.5, 0.25, 1.1], jnp.float32)
+    f = jax.jit(lambda bb: k2.steps2(bb, None, None, scal, "cheb2f0",
+                                     sdtype="bf16")[1])
+    f.lower(b).compile()
+    return {"bx": bx, "by": by}
+
+
+probe("cheb2f0_compile_16x8", lambda: cheb2f0_compile(16, 8))
+probe("cheb2f0_compile_8x8", lambda: cheb2f0_compile(8, 8))
+
+
 # --- (b) pair micro-bench --------------------------------------------------
 def cheb2_pair_ms(bx, by, r=6, p=4, sdtype="bf16"):
     from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2

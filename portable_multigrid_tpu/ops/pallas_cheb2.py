@@ -102,11 +102,19 @@ class Cheb2Kernel:
     """Two-step fused Chebyshev recurrence kernel (see module docstring).
 
     Modes of :meth:`steps2`:
-      * "cheb2":   inputs (d, r, x), outputs (r2, d2, x2);
-      * "cheb2l":  pair ENDS the recurrence — only x2 is written;
-      * "chebd2":  x == d on entry (zero-initial-guess first pair), the x
-                   read is skipped; outputs (r2, d2, x2);
-      * "chebd2l": both (degree-3 smoother in one launch): only x2.
+      * "cheb2":    inputs (d, r, x), outputs (r2, d2, x2);
+      * "cheb2l":   pair ENDS the recurrence — only x2 is written;
+      * "chebd2":   x == d on entry (zero-initial-guess first pair), the x
+                    read is skipped; outputs (r2, d2, x2);
+      * "chebd2l":  both (degree-3 smoother in one launch): only x2;
+      * "cheb2f0":  the preconditioner-entry pair FROM THE RHS: the only
+                    input stream is b (passed in the ``d`` slot) — the
+                    kernel computes d0 = b / (theta * diag) on the window,
+                    r0 = b (a slice of the same window), x0 = d0, then runs
+                    the pair.  Replaces apply()'s separate XLA d0 pass and
+                    the r-stream read entirely; scal carries theta in
+                    position 4.
+      * "cheb2f0l": ditto, recurrence ends with the pair (degree 3).
     """
 
     degree: int = static_field()
@@ -139,20 +147,25 @@ class Cheb2Kernel:
         f32 = jnp.float32
         sd = jnp.bfloat16 if sdtype == "bf16" else f32
         has_x = mode in ("cheb2", "cheb2l")
-        last = mode in ("cheb2l", "chebd2l")
+        from_rhs = mode in ("cheb2f0", "cheb2f0l")
+        has_r = not from_rhs
+        last = mode in ("cheb2l", "chebd2l", "cheb2f0l")
         out_dtypes = (f32,) if last else (sd, sd, f32)
         n_outs = len(out_dtypes)
-        ddt, rdt = d.dtype, r.dtype
+        ddt = d.dtype
+        rdt = r.dtype if has_r else ddt
 
         n_mats = len(self.mats)
         n_facs = len(self.facs)
 
-        def kernel(d_hbm, r_hbm, *refs):
+        def kernel(d_hbm, *refs):
+            if has_r:
+                r_hbm = refs[0]
+            refs = refs[1 if has_r else 0:]
             (Kz_r, Mz_r, s1kx, s1mx, s1ky, s1my,
              s2kx, s2mx, s2ky, s2my) = refs[:n_mats]
             pos = n_mats
-            (f1xk, f1xm, f1yk, f1ym, f2xk, f2xm, f2yk, f2ym,
-             fzk, fzm) = refs[pos: pos + n_facs]
+            (f0xk, f0xm, f0yk, f0ym, fzk, fzm) = refs[pos: pos + n_facs]
             pos += n_facs
             scal_r = refs[pos]
             pos += 1
@@ -160,7 +173,11 @@ class Cheb2Kernel:
                 x_r = refs[pos]
                 pos += 1
             out_refs = refs[pos: pos + n_outs]
-            (slab_d, slab_r, sems) = refs[pos + n_outs:]
+            if has_r:
+                (slab_d, slab_r, sems) = refs[pos + n_outs:]
+            else:
+                (slab_d, sems) = refs[pos + n_outs:]
+                slab_r = None
 
             i = pl.program_id(0)
             j = pl.program_id(1)
@@ -219,10 +236,12 @@ class Cheb2Kernel:
 
             def start_fetch(slot, ii, jj):
                 zero_strips(slot, ii, jj, slab_d, 2 * p, Hd, Wx, Wy, ddt)
-                zero_strips(slot, ii, jj, slab_r, p, Hr, Rx, Ry, rdt)
                 fetch(slot, ii, jj, slab_d, d_hbm, 2 * p, Hd, Wx, Wy, 0,
                       True)
-                fetch(slot, ii, jj, slab_r, r_hbm, p, Hr, Rx, Ry, 2, True)
+                if has_r:
+                    zero_strips(slot, ii, jj, slab_r, p, Hr, Rx, Ry, rdt)
+                    fetch(slot, ii, jj, slab_r, r_hbm, p, Hr, Rx, Ry, 2,
+                          True)
 
             @pl.when(k == 0)
             def _():
@@ -235,7 +254,8 @@ class Cheb2Kernel:
                             jax.lax.rem(k1, jnp.int32(nbj)))
 
             fetch(islot, i, j, slab_d, d_hbm, 2 * p, Hd, Wx, Wy, 0, False)
-            fetch(islot, i, j, slab_r, r_hbm, p, Hr, Rx, Ry, 2, False)
+            if has_r:
+                fetch(islot, i, j, slab_r, r_hbm, p, Hr, Rx, Ry, 2, False)
 
             # ---- contraction engine (bf16 MXU, f32 accumulation) ----------
             bf16 = jnp.bfloat16
@@ -277,16 +297,30 @@ class Cheb2Kernel:
             c0b = scal_r[0, 2]
             c1b = scal_r[0, 3]
             fz_k, fz_m = fzk[...], fzm[...]
+            # the inverse diagonal rebuilds in-VMEM from 1D factors at the
+            # full d-window extent; step regions slice it
+            diagw = (f0xk[0] * f0ym[0] * fz_m
+                     + f0xm[0] * (f0yk[0] * fz_m + f0ym[0] * fz_k))
+            diag1 = diagw[p: p + E1x, Hd - p: Hd - p + E1y, :]
+            diag2 = diag1[p: p + bxp, p: p + byp, :]
 
             # ---- step one on the +/-p extended region ---------------------
-            raw1 = apply_op(slab_d[islot], s1kx[0], s1mx[0], s1ky[0],
-                            s1my[0])
-            r1 = slab_r[islot, 0:E1x, Hr - p: Hr - p + E1y, :].astype(
-                f32) - raw1
-            diag1 = (f1xk[0] * f1ym[0] * fz_m
-                     + f1xm[0] * (f1yk[0] * fz_m + f1ym[0] * fz_k))
-            dE1 = slab_d[islot, p: p + E1x, Hd - p: Hd - p + E1y, :].astype(
-                f32)
+            if from_rhs:
+                # preconditioner entry: the window stream is b; the kernel
+                # derives d0 = b / (theta diag), r0 = b, x0 = d0
+                theta = scal_r[0, 4]
+                d0w = slab_d[islot].astype(f32) / (theta * diagw)
+                raw1 = apply_op(d0w, s1kx[0], s1mx[0], s1ky[0], s1my[0])
+                r1 = slab_d[islot, p: p + E1x, Hd - p: Hd - p + E1y,
+                            :].astype(f32) - raw1
+                dE1 = d0w[p: p + E1x, Hd - p: Hd - p + E1y, :]
+            else:
+                raw1 = apply_op(slab_d[islot], s1kx[0], s1mx[0], s1ky[0],
+                                s1my[0])
+                r1 = slab_r[islot, 0:E1x, Hr - p: Hr - p + E1y, :].astype(
+                    f32) - raw1
+                dE1 = slab_d[islot, p: p + E1x, Hd - p: Hd - p + E1y,
+                             :].astype(f32)
             d1 = c0a * dE1 + (c1a / diag1) * r1
 
             # ---- step two, exact on the interior block --------------------
@@ -294,11 +328,11 @@ class Cheb2Kernel:
             r1i = r1[p: p + bxp, p: p + byp, :]
             d1i = d1[p: p + bxp, p: p + byp, :]
             r2 = r1i - raw2
-            diag2 = (f2xk[0] * f2ym[0] * fz_m
-                     + f2xm[0] * (f2yk[0] * fz_m + f2ym[0] * fz_k))
             d2 = c0b * d1i + (c1b / diag2) * r2
             if has_x:
                 xb = x_r[...]
+            elif from_rhs:
+                xb = d0w[2 * p: 2 * p + bxp, Hd: Hd + byp, :]
             else:
                 xb = slab_d[islot, 2 * p: 2 * p + bxp,
                             Hd: Hd + byp, :].astype(f32)
@@ -321,9 +355,12 @@ class Cheb2Kernel:
                                 memory_space=pltpu.VMEM)
 
         (Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2Kx, S2Mx, S2Ky, S2My) = self.mats
-        in_specs = [
-            pl.BlockSpec(memory_space=pl.ANY),  # d
-            pl.BlockSpec(memory_space=pl.ANY),  # r
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # d (or b)
+        operands = [d]
+        if has_r:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            operands.append(r)
+        in_specs += [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Kz
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Mz
             bspec(S1Kx.shape, "i"), bspec(S1Mx.shape, "i"),
@@ -331,22 +368,20 @@ class Cheb2Kernel:
             bspec(S2Kx.shape, "i"), bspec(S2Mx.shape, "i"),
             bspec(S2Ky.shape, "j"), bspec(S2My.shape, "j"),
         ]
-        operands = [d, r, Kz, Mz, S1Kx, S1Mx, S1Ky, S1My,
-                    S2Kx, S2Mx, S2Ky, S2My]
-        (f1xK, f1xM, f1yK, f1yM, f2xK, f2xM, f2yK, f2yM, fzK, fzM) = self.facs
-        for f in (f1xK, f1xM):
+        operands += [Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2Kx, S2Mx,
+                     S2Ky, S2My]
+        (f0xK, f0xM, f0yK, f0yM, fzK, fzM) = self.facs
+        for f in (f0xK, f0xM):
             in_specs.append(bspec(f.shape, "i"))
-        for f in (f1yK, f1yM):
-            in_specs.append(bspec(f.shape, "j"))
-        for f in (f2xK, f2xM):
-            in_specs.append(bspec(f.shape, "i"))
-        for f in (f2yK, f2yM):
+        for f in (f0yK, f0yM):
             in_specs.append(bspec(f.shape, "j"))
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2  # fzK, fzM
-        operands += [f1xK, f1xM, f1yK, f1yM, f2xK, f2xM, f2yK, f2yM,
-                     fzK, fzM]
-        operands.append(jnp.asarray(scal, jnp.float32).reshape(1, 4))
-        in_specs.append(pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+        operands += [f0xK, f0xM, f0yK, f0yM, fzK, fzM]
+        scal6 = jnp.zeros((1, 6), jnp.float32).at[0, : len(scal)].set(
+            jnp.asarray(scal, jnp.float32)
+        )
+        operands.append(scal6)
+        in_specs.append(pl.BlockSpec((1, 6), lambda i, j: (0, 0),
                                      memory_space=pltpu.SMEM))
         if has_x:
             operands.append(x)
@@ -355,17 +390,17 @@ class Cheb2Kernel:
         out_shape = tuple(
             jax.ShapeDtypeStruct((N0t, N1t, Z), dt) for dt in out_dtypes
         )
+        scratch = [pltpu.VMEM((2, Wx, Wy, Z), ddt)]
+        if has_r:
+            scratch.append(pltpu.VMEM((2, Rx, Ry, Z), rdt))
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
         fn = pl.pallas_call(
             kernel,
             grid=(nbi, nbj),
             in_specs=in_specs,
             out_specs=(blk_spec,) * n_outs,
             out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((2, Wx, Wy, Z), ddt),
-                pltpu.VMEM((2, Rx, Ry, Z), rdt),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024,
             ),
@@ -434,11 +469,10 @@ def make_cheb2(
         return jnp.asarray(
             _fac_stack(g, Nt, nbj, byp, off, ext)[:, None, :, None], dtype)
 
+    # diagonal factors at the full d-window extent; step regions are slices
     facs = (
-        xs(gK, p, E1x), xs(gM, p, E1x),
-        ys(gK, p, E1y), ys(gM, p, E1y),
-        xs(gK, 0, bxp), xs(gM, 0, bxp),
-        ys(gK, 0, byp), ys(gM, 0, byp),
+        xs(gK, 2 * p, Wx), xs(gM, 2 * p, Wx),
+        ys(gK, Hd, Wy), ys(gM, Hd, Wy),
         jnp.asarray(zdK.reshape(1, 1, -1), dtype),
         jnp.asarray(zdM.reshape(1, 1, -1), dtype),
     )

@@ -140,7 +140,8 @@ class FusedChebyshev:
     def inv_diag(self):
         return self.op.inv_diag
 
-    def _steps(self, r, d, x, x_is_d: bool = False):
+    def _steps(self, r, d, x, x_is_d: bool = False, k0: int = 0,
+               rho=None):
         sigma1 = self.theta / self.delta
         sdt = self.state_dtype
         if sdt == "bf16":
@@ -167,8 +168,9 @@ class FusedChebyshev:
             # consecutive steps are consumed in PAIRS through the two-step
             # fused kernel (one HBM pass per pair).
             n = self.degree - 1
-            rho = 1.0 / sigma1
-            k = 0
+            if rho is None:
+                rho = 1.0 / sigma1
+            k = k0
             while k < n:
                 rho_new = 1.0 / (2.0 * sigma1 - rho)
                 c0a = rho_new * rho
@@ -248,12 +250,38 @@ class FusedChebyshev:
             x(dK[1], 1) * x(dM[2], 2) + x(dM[1], 1) * x(dK[2], 2)
         )
 
+    def _x_from_rhs(self, bt):
+        """Full recurrence from the rhs (x0 = d0 = bt / (theta diag)).
+
+        With the pair kernel, the entry pair runs mode "cheb2f0": d0 is
+        derived IN-KERNEL from the b window (no separate XLA d0 pass, no
+        r-stream read — b itself is the first residual)."""
+        if (self.op_cheb2 is not None and self.steps_mode == "unroll"
+                and self.degree >= 3):
+            sigma1 = self.theta / self.delta
+            rho = 1.0 / sigma1
+            rho1 = 1.0 / (2.0 * sigma1 - rho)
+            rho2 = 1.0 / (2.0 * sigma1 - rho1)
+            scal = jnp.stack([
+                rho1 * rho, 2.0 * rho1 / self.delta,
+                rho2 * rho1, 2.0 * rho2 / self.delta, self.theta,
+            ]).astype(jnp.float32)
+            n = self.degree - 1
+            mode = "cheb2f0l" if n == 2 else "cheb2f0"
+            outs = self.op_cheb2.steps2(bt, None, None, scal, mode,
+                                        sdtype=self.state_dtype)
+            if n == 2:
+                return outs[0]
+            r, d, x = outs
+            return self._steps(r, d, x, k0=2, rho=rho2)
+        d0 = bt / (self.theta * self._diag_trimmed())
+        return self._steps(bt, d0, d0, x_is_d=True)
+
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         """Preconditioner vmult with x0 = 0 on a MASKED input (constrained
         entries of b must be zero; the output's are zero)."""
         bt = b if self.trimmed_io else self._trim(b)
-        d0 = bt / (self.theta * self._diag_trimmed())
-        x = self._steps(bt, d0, d0, x_is_d=True)
+        x = self._x_from_rhs(bt)
         if self.trimmed_io:
             return x
         return self._pad_full(x)
