@@ -169,30 +169,107 @@ class PallasTransfer:
         n_add = 0 if add is None else 1
 
         (Mxh, Mxl, Myh, Myl, Mzh, Mzl) = mats
-        # padded-frame windows: input padded by PAD per side (XLA), every
-        # DMA start is a PURE multiple of the stride — the only start form
-        # Mosaic compiles (conditionals/floor-div/min-max/SMEM all crash,
-        # r3 batches 6-9); nb*stride + 2*PAD tiles the padded array exactly
+        # branch-fetched windows in the PADDED frame geometry: the window
+        # matrices map column k to global input row b*stride - PAD + k, but
+        # the input is NOT physically padded (a pad pass costs a full HBM
+        # read+write of the fine array) — edge blocks fetch the in-range
+        # rows at static offsets and zero-fill the out-of-range strips
+        # (matrix columns there are zero; zeros guard against 0*garbage
+        # NaNs).  Interior starts i*stride - PAD keep the affine form
+        # Mosaic compiles (cf. ops/pallas_cheb2.py); grids too small for an
+        # in-range interior start (stride < PAD) fall back to an XLA pad.
         stride = win_w - 2 * PAD
-        src = jnp.pad(src, ((PAD, PAD), (PAD, PAD), (0, 0)))
+        Nx_in, Ny_in = in_shape[0], in_shape[1]
+        pad_fallback = stride < PAD
+        if pad_fallback:
+            src = jnp.pad(src, ((PAD, PAD), (PAD, PAD), (0, 0)))
+
+        def axis_cases(ii, nb, Nt):
+            if pad_fallback:
+                return [(None, ii * stride, win_w, 0)]
+            if nb == 1:
+                return [(None, 0, min(stride, Nt), PAD)]
+            cases = [(ii == 0, 0, stride + PAD, PAD)]
+            if nb > 2:
+                cases.append((
+                    jnp.logical_and(ii > 0, ii < nb - 1),
+                    ii * stride - PAD, win_w, 0,
+                ))
+            cases.append((ii == nb - 1, ii * stride - PAD, stride + PAD, 0))
+            return cases
 
         def kernel(src_hbm, mxh_r, mxl_r, myh_r, myl_r,
                    mzh_r, mzl_r, *rest):
             if n_add:
                 add_r = rest[0]
             out_r = rest[n_add]
-            win, sem = rest[n_add + 1:]
+            win, sems = rest[n_add + 1:]
             i = pl.program_id(0)
             j = pl.program_id(1)
-            x0 = i * stride
-            y0 = j * stride
-            cp = pltpu.make_async_copy(
-                src_hbm.at[pl.ds(x0, win_w), pl.ds(y0, win_w), pl.ds(0, Zi)],
-                win, sem,
-            )
-            cp.start()
-            cp.wait()
-            t = win[...]
+            k = i * nby + j
+            islot = jax.lax.rem(k, jnp.int32(2))
+
+            def fetch(slot, ii, jj, start):
+                for (px, xs, xr, xo) in axis_cases(ii, nbx, Nx_in):
+                    for (py, ys, yr, yo) in axis_cases(jj, nby, Ny_in):
+
+                        def do(xs=xs, xr=xr, xo=xo, ys=ys, yr=yr, yo=yo):
+                            cp = pltpu.make_async_copy(
+                                src_hbm.at[pl.ds(xs, xr), pl.ds(ys, yr),
+                                           pl.ds(0, Zi)],
+                                win.at[slot, xo: xo + xr, yo: yo + yr, :],
+                                sems.at[slot],
+                            )
+                            cp.start() if start else cp.wait()
+
+                        if px is None and py is None:
+                            do()
+                        elif px is None:
+                            pl.when(py)(do)
+                        elif py is None:
+                            pl.when(px)(do)
+                        else:
+                            pl.when(jnp.logical_and(px, py))(do)
+
+            def start_fetch(slot, ii, jj):
+                if not pad_fallback:
+                    # zero the halo strips of edge windows (cheap VPU
+                    # writes; interior windows are fully DMA-overwritten)
+                    zx = jnp.zeros((PAD, win_w, Zi), dtype)
+                    zy = jnp.zeros((win_w, PAD, Zi), dtype)
+
+                    @pl.when(ii == 0)
+                    def _():
+                        win[slot, 0:PAD, :, :] = zx
+
+                    @pl.when(ii == nbx - 1)
+                    def _():
+                        win[slot, win_w - PAD: win_w, :, :] = zx
+
+                    @pl.when(jj == 0)
+                    def _():
+                        win[slot, :, 0:PAD, :] = zy
+
+                    @pl.when(jj == nby - 1)
+                    def _():
+                        win[slot, :, win_w - PAD: win_w, :] = zy
+                fetch(slot, ii, jj, True)
+
+            # double-buffered input: prefetch block k+1's window while
+            # block k contracts (the kernel is DMA-latency-bound: the
+            # matmul work is tiny next to the window fetch)
+            @pl.when(k == 0)
+            def _():
+                start_fetch(jnp.int32(0), i, j)
+
+            @pl.when(k + 1 < nbx * nby)
+            def _():
+                k1 = k + 1
+                start_fetch(1 - islot, k1 // nby,
+                            jax.lax.rem(k1, jnp.int32(nby)))
+
+            fetch(islot, i, j, False)
+            t = win[islot]
             # small axes first (shrink before the big lane matmul)
             t = self._contract(t, mxh_r[0], mxl_r[0], 0, out_w)
             t = self._contract(t, myh_r[0], myl_r[0], 1, out_w)
@@ -228,8 +305,8 @@ class PallasTransfer:
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, dtype),
             scratch_shapes=[
-                pltpu.VMEM((win_w, win_w, Zi), dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, win_w, win_w, Zi), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024,
