@@ -76,6 +76,47 @@ probe("cheb2f0_compile_16x8", lambda: cheb2f0_compile(16, 8))
 probe("cheb2f0_compile_8x8", lambda: cheb2f0_compile(8, 8))
 
 
+# --- (a2) branch-fetched transfer kernels: compile + pair timing -----------
+def transfer_pair(r=6, p=4):
+    from portable_multigrid_tpu.fem.mesh import geometric_coarsening_sequence
+    from portable_multigrid_tpu.ops.pallas_transfer import (
+        make_pallas_h_transfer,
+    )
+
+    mesh = HyperCubeMesh(3, r)
+    spaces = [FESpace(m, p) for m in geometric_coarsening_sequence(mesh)]
+    tr = make_pallas_h_transfer(spaces[-2], spaces[-1], jnp.float32)
+    g = tuple(s - 1 for s in spaces[-1].grid_shape)
+    f = jax.random.normal(jax.random.PRNGKey(0), g, jnp.float32)
+    pair = jax.jit(lambda v: tr.prolongate(tr.restrict(v)))
+    pair.lower(f).compile()
+    ms = measure_op(pair, f, repeats=3) * 1e3
+    return {"ms_pair": ms}
+
+
+probe("transfer_pair_r6_branchfetch", transfer_pair)
+
+
+# --- (a3) residual3t banded at 16x8 (the 8x8 twin costs ~+0.3 ms) ----------
+def resid3t_16x8():
+    from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+
+    sp = FESpace(HyperCubeMesh(3, 6), 4)
+    op = make_pallas_laplace(sp, jnp.float32, bx=16, by=8, core="banded")
+    g = tuple(s - 1 for s in sp.grid_shape)
+    u = jax.random.normal(jax.random.PRNGKey(2), g, jnp.float32)
+    rhs = jax.random.normal(jax.random.PRNGKey(3), g, jnp.float32)
+    scal = jnp.stack([jnp.float32(1.1), jnp.float32(1.1)])
+    f = jax.jit(lambda uu: op._run("residual3t", uu, (rhs,), scal,
+                                   sdtype="bf16")[2])
+    f.lower(u).compile()
+    ms = measure_op(lambda uu: f(uu), u, repeats=3) * 1e3
+    return {"ms_residual3t_16x8_banded": ms}
+
+
+probe("resid3t_16x8_banded", resid3t_16x8)
+
+
 # --- (b) pair micro-bench --------------------------------------------------
 def cheb2_pair_ms(bx, by, r=6, p=4, sdtype="bf16"):
     from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2
