@@ -127,6 +127,16 @@ class Cheb2Kernel:
     # interpret-mode testing only (f32 non-default-precision dots crash
     # Mosaic on the x pattern; the production grade is bf16 "mxu")
     exact: bool = static_field(default=False)
+    # xext=True: the d/r inputs arrive X-EXTENDED (the x halos — 2p planes
+    # for d, p for r, per side — are REAL neighbour data appended by the
+    # sharded caller's ppermute exchange; zeros at the global ends).  Every
+    # x window is then an interior window at a pure-product start, and the
+    # per-block matrix stacks are the per-shard slices of the GLOBAL
+    # stacks (shard_map partitions their leading axis).  This gives the
+    # slab-sharded pair smoother the same kernel as the single chip —
+    # reference parity: one hot kernel serial and MPI
+    # (include/operators/portable_laplace_operator.h:557-719).
+    xext: bool = static_field(default=False)
     mats: tuple = None  # (Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2K.., S2M..)
     facs: tuple = None  # (f1xK, f1xM, f1yK, f1yM, f2xK.., f2yM.., fzK, fzM)
 
@@ -184,10 +194,14 @@ class Cheb2Kernel:
             k = i * nbj + j
             islot = jax.lax.rem(k, jnp.int32(2))
 
-            def axis_cases(ii, nb, blk, halo, W, Nt):
+            def axis_cases(ii, nb, blk, halo, W, Nt, ext=False):
                 """(pred, src_start, rows, dst_off) DMA cases along one axis
                 (None pred = unconditional).  Static sizes per case — Mosaic
-                DMA extents must be compile-time constants."""
+                DMA extents must be compile-time constants.  ``ext``: the
+                input already carries the halo (sharded x axis) — every
+                window is interior."""
+                if ext:
+                    return [(None, ii * blk, W, 0)]
                 if nb == 1:
                     return [(None, 0, min(blk, Nt), halo)]
                 cases = [(ii == 0, 0, blk + halo, halo)]
@@ -200,7 +214,8 @@ class Cheb2Kernel:
                 return cases
 
             def fetch(slot, ii, jj, slab, hbm, hx, hy, W0, W1, sem, start):
-                for (px, xs, xr, xo) in axis_cases(ii, nbi, bxp, hx, W0, N0t):
+                for (px, xs, xr, xo) in axis_cases(ii, nbi, bxp, hx, W0,
+                                                   N0t, ext=self.xext):
                     for (py, ys, yr, yo) in axis_cases(
                             jj, nbj, byp, hy, W1, N1t):
 
@@ -229,8 +244,9 @@ class Cheb2Kernel:
                 def zy(lo, n_):
                     slab[slot, :, lo: lo + n_, :] = jnp.zeros((W0, n_, Z), dt)
 
-                pl.when(ii == 0)(lambda: zx(0, hx))
-                pl.when(ii == nbi - 1)(lambda: zx(W0 - hx, hx))
+                if not self.xext:  # extended inputs carry real x halos
+                    pl.when(ii == 0)(lambda: zx(0, hx))
+                    pl.when(ii == nbi - 1)(lambda: zx(W0 - hx, hx))
                 pl.when(jj == 0)(lambda: zy(0, hy))
                 pl.when(jj == nbj - 1)(lambda: zy(W1 - hy, hy))
 
@@ -489,6 +505,25 @@ def make_cheb2(
     )
 
 
+def cheb2_vmem_ok(bx: int, by: int, p: int, Z: int) -> bool:
+    """Heuristic VMEM budget for one (bx, by) block configuration."""
+    bxp, byp = bx * p, by * p
+    Hd = _roundup8(2 * p)
+    Hr = _roundup8(p)
+    Wx, Wy = bxp + 4 * p, byp + 2 * Hd
+    Rx, Ry = bxp + 2 * p, byp + 2 * Hr
+    E1x, E1y = bxp + 2 * p, byp + 2 * p
+    est = 4 * (
+        2 * Wx * Wy * Z // 2       # d slabs (bf16)
+        + 2 * Rx * Ry * Z // 2     # r slabs (bf16)
+        + 2 * bxp * byp * Z        # x blocked in (f32, pipelined x2)
+        + 2 * 2 * bxp * byp * Z    # outs (r2+d2 bf16 + x2 f32) x2
+        + 7 * Wx * Wy * Z          # live step-1 intermediates (f32)
+        + 5 * E1x * E1y * Z        # live step-2 intermediates
+    )
+    return est < 110 * 1024 * 1024
+
+
 def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
                     interpret: bool = False):
     """Block-size auto-pick with a VMEM budget estimate; None if no
@@ -500,21 +535,7 @@ def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
             (16, 8), (8, 8)):
         if not cheb2_eligible(space, bx, by):
             continue
-        bxp, byp = bx * p, by * p
-        Hd = _roundup8(2 * p)
-        Hr = _roundup8(p)
-        Wx, Wy = bxp + 4 * p, byp + 2 * Hd
-        Rx, Ry = bxp + 2 * p, byp + 2 * Hr
-        E1x, E1y = bxp + 2 * p, byp + 2 * p
-        est = 4 * (
-            2 * Wx * Wy * Z // 2       # d slabs (bf16)
-            + 2 * Rx * Ry * Z // 2     # r slabs (bf16)
-            + 2 * bxp * byp * Z        # x blocked in (f32, pipelined x2)
-            + 2 * 2 * bxp * byp * Z    # outs (r2+d2 bf16 + x2 f32) x2
-            + 7 * Wx * Wy * Z          # live step-1 intermediates (f32)
-            + 5 * E1x * E1y * Z        # live step-2 intermediates
-        )
-        if est < 110 * 1024 * 1024:
+        if cheb2_vmem_ok(bx, by, p, Z):
             return make_cheb2(space, dtype, bx=bx, by=by,
                               interpret=interpret)
     return None

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -249,6 +251,80 @@ def _build_stacked_pallas(
     )
 
 
+def _build_stacked_cheb2(
+    space: FESpace, S: int, dtype, interpret: bool = False,
+    bx: int | None = None, by: int | None = None, exact: bool = False,
+):
+    """Stacked xext-mode Cheb2Kernel for the sharded pair smoother, or None.
+
+    The per-block x matrix/factor stacks of the GLOBAL kernel partition
+    naturally per shard (global block s*nbi_loc + i is shard s's local
+    block i); everything else broadcasts.  Inside shard_map the kernel is
+    bitwise the single-chip pair on the same windows."""
+    import dataclasses as _dc
+
+    from ..ops.pallas_cheb2 import (
+        Cheb2Kernel,
+        _roundup8,
+        cheb2_vmem_ok,
+        make_cheb2,
+    )
+    from ..ops.pallas_laplace import lane_pad
+
+    if dtype != jnp.float32:
+        return None
+    n, p = space.mesh.cells_per_axis, space.degree
+    if n % S:
+        return None
+    n_loc = n // S
+    if not interpret and (n * p < 128 or lane_pad(space) != 0):
+        return None  # no lane-padded sharded pair kernel yet
+    Hd = _roundup8(2 * p)
+
+    def pickb(cells, req):
+        for b in (16, 8, 4, 2):
+            if b == 16 and n * p > 256:
+                continue
+            if (cells % b == 0 and (b * p) % 8 == 0 and b * p >= req
+                    and cheb2_vmem_ok(b, b, p, n * p)):
+                return b
+        return None
+
+    bx = bx if bx is not None else pickb(n_loc, 2 * p)
+    by = by if by is not None else pickb(n, Hd)
+    if bx is None or by is None:
+        return None
+    if not (interpret or cheb2_vmem_ok(bx, by, p, n * p)):
+        return None
+    kern = make_cheb2(space, dtype, bx=bx, by=by, zpad=0,
+                      interpret=interpret, exact=exact)
+    nbi_loc = n_loc // bx
+    if nbi_loc == 0 or n_loc % bx:
+        return None
+
+    def part_blocks(a):  # [S*nbi_loc, ...] -> [S, nbi_loc, ...]
+        return a.reshape((S, nbi_loc) + a.shape[1:])
+
+    def tile(a):
+        return jnp.broadcast_to(a[None], (S,) + a.shape)
+
+    x_mat_idx = {2, 3, 6, 7}  # S1Kx, S1Mx, S2Kx, S2Mx
+    x_fac_idx = {0, 1}  # f0xK, f0xM
+    return _dc.replace(
+        kern,
+        n=(n_loc, n, n),
+        xext=True,
+        mats=tuple(
+            part_blocks(m) if ix in x_mat_idx else tile(m)
+            for ix, m in enumerate(kern.mats)
+        ),
+        facs=tuple(
+            part_blocks(f) if ix in x_fac_idx else tile(f)
+            for ix, f in enumerate(kern.facs)
+        ),
+    )
+
+
 def _unstack(tree):
     """Drop the leading (sharded, now size-1) axis from every leaf."""
     return jax.tree_util.tree_map(lambda a: a[0], tree)
@@ -350,6 +426,7 @@ class ShardedGeometricPoisson:
             else:
                 op_stacked = None
                 fused_stacked = None
+                cheb2_stacked = None
                 if variant == "pallas":
                     op_stacked = _build_stacked_pallas(
                         sp, S, dtype,
@@ -363,6 +440,13 @@ class ShardedGeometricPoisson:
                             sp, S, dtype, core="mxu",
                             interpret=getattr(self, "pallas_interpret", False),
                         )
+                        if fused_stacked is not None and os.environ.get(
+                                "PMG_CHEB2", "1") == "1":
+                            cheb2_stacked = _build_stacked_cheb2(
+                                sp, S, dtype,
+                                interpret=getattr(
+                                    self, "pallas_interpret", False),
+                            )
                 if op_stacked is None:
                     op_stacked = _build_stacked_operator(
                         sp, S, dtype,
@@ -400,6 +484,7 @@ class ShardedGeometricPoisson:
                     degree=deg,
                     op=None,  # wired to the level ShardedPallasLaplace
                     op_smooth=fused_stacked,
+                    op_cheb2=cheb2_stacked,
                     theta=_tile(np.full((), (beta + alpha) / 2.0), S, dtype),
                     delta=_tile(np.full((), (beta - alpha) / 2.0), S, dtype),
                 )

@@ -262,6 +262,12 @@ class ShardedFusedChebyshev:
     degree: int = static_field()
     op: object = None  # exact ShardedPallasLaplace (residuals, thin rows)
     op_smooth: object = None  # mxu-core ShardedPallasLaplace (recurrence)
+    # optional two-step pair kernel (ops/pallas_cheb2.py) in xext mode: the
+    # x halos (2p planes of d, p of r, per side) ship by ppermute BEFORE
+    # each pair, so every in-window output row is exact — no plane-0
+    # corrections, and the per-block matrix stacks are the per-shard slices
+    # of the single-chip global stacks (bitwise the single-chip pair).
+    op_cheb2: object = None
     theta: jnp.ndarray = None
     delta: jnp.ndarray = None
 
@@ -348,15 +354,47 @@ class ShardedFusedChebyshev:
         plane restored by one ppermute, Dirichlet planes re-padded)."""
         return jnp.pad(self._ext_from_right(x), ((0, 0), (0, 1), (0, 1)))
 
+    def _ext_both(self, t, h):
+        """Prepend/append h planes from the left/right neighbours (zeros at
+        the global ends — lax.ppermute yields zeros for unpaired chips)."""
+        if self.n_shards == 1:
+            z = jnp.zeros((h,) + t.shape[1:], t.dtype)
+            return jnp.concatenate([z, t, z], axis=0)
+        fwd = [(i, i + 1) for i in range(self.n_shards - 1)]
+        bwd = [(i + 1, i) for i in range(self.n_shards - 1)]
+        left = jax.lax.ppermute(t[-h:], self.axis_name, fwd)
+        right = jax.lax.ppermute(t[:h], self.axis_name, bwd)
+        return jnp.concatenate([left, t, right], axis=0)
+
     # --- the smoother ------------------------------------------------------
     def _steps(self, r, d, x):
         sigma1 = self.theta / self.delta
         rho = 1.0 / sigma1
         idg0 = self._inv_diag_row0()
         loc = self.op_smooth.local
-        for _ in range(self.degree - 1):
+        p = loc.degree
+        n = self.degree - 1
+        k = 0
+        while k < n:
             rho_new = 1.0 / (2.0 * sigma1 - rho)
             c1 = 2.0 * rho_new / self.delta
+            if self.op_cheb2 is not None and k + 1 < n:
+                rho2 = 1.0 / (2.0 * sigma1 - rho_new)
+                scal = jnp.stack([
+                    rho_new * rho, c1, rho2 * rho_new,
+                    2.0 * rho2 / self.delta,
+                ]).astype(jnp.float32)
+                last = k + 2 == n
+                outs = self.op_cheb2.steps2(
+                    self._ext_both(d, 2 * p), self._ext_both(r, p), x,
+                    scal, "cheb2l" if last else "cheb2", sdtype="f32",
+                )
+                if last:
+                    return outs[0]
+                r, d, x = outs
+                rho = rho2
+                k += 2
+                continue
             scal = jnp.stack([rho_new * rho, c1]).astype(jnp.float32)
             d_ext = self._ext_from_right(d)
             rn, dn, xn = loc._run("chebf", d_ext, (r, x), scal)
@@ -366,6 +404,7 @@ class ShardedFusedChebyshev:
             d = dn.at[:1].add(-corr)
             x = xn.at[:1].add(-corr)
             rho = rho_new
+            k += 1
         return x
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:

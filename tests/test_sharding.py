@@ -447,3 +447,85 @@ def test_2d_pencil_pallas_solve_matches_single_device():
         np.asarray(x, dtype=np.float64), np.asarray(x1),
         atol=2e-5 * scale,
     )
+
+
+def test_sharded_cheb2_pairs_match_single_chip():
+    """The two-step pair kernel under shard_map (xext mode: 2p/p-plane
+    ppermute halos, per-shard slices of the global block-matrix stacks) is
+    block-for-block the single-chip pair — apply/smooth agree tightly even
+    in the production bf16-matrix grade, because the block partitions and
+    window contents are identical on both sides."""
+    import dataclasses
+
+    from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2
+    from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+    from portable_multigrid_tpu.parallel.poisson import (
+        _build_stacked_cheb2,
+        _build_stacked_pallas,
+    )
+    from portable_multigrid_tpu.parallel.sharding import ShardedFusedChebyshev
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    dim, p, r, n_dev = 3, 4, 3, 4
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    n = sp.mesh.cells_per_axis
+    exact1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True)
+    mxu1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True,
+                               core="mxu")
+    k2_1 = make_cheb2(sp, jnp.float32, bx=2, by=4, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    fused1 = FusedChebyshev(degree=5, op=exact1, op_smooth=mxu1,
+                            op_cheb2=k2_1, theta=theta, delta=delta)
+
+    rng = np.random.default_rng(7)
+    m = np.asarray(exact1.mask)
+    b = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+    u = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+
+    op_st = _build_stacked_pallas(sp, n_dev, jnp.float32, interpret=True)
+    mxu_st = _build_stacked_pallas(sp, n_dev, jnp.float32, core="mxu",
+                                   interpret=True)
+    k2_st = _build_stacked_cheb2(sp, n_dev, jnp.float32, interpret=True,
+                                 bx=2, by=4)
+    assert op_st is not None and mxu_st is not None and k2_st is not None
+    b_st = jnp.asarray(partition_axis0(b, n, p, n_dev))
+    u_st = jnp.asarray(partition_axis0(u, n, p, n_dev))
+
+    sm_st = ShardedFusedChebyshev(
+        axis_name=AXIS, n_shards=n_dev, degree=5,
+        op=op_st, op_smooth=mxu_st, op_cheb2=k2_st,
+        theta=jnp.broadcast_to(theta, (n_dev,)),
+        delta=jnp.broadcast_to(delta, (n_dev,)),
+    )
+
+    def f(sm_stacked, u_stacked, b_stacked):
+        sm = _unstack(sm_stacked)
+        return (sm.apply(b_stacked[0])[None],
+                sm.smooth(u_stacked[0], b_stacked[0])[None])
+
+    za_st, sa_st = jax.jit(
+        jax.shard_map(
+            f, mesh=_mesh(n_dev),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS),) * 2,
+            check_vma=False,
+        )
+    )(sm_st, u_st, b_st)
+
+    # apply: the d0 entry is bitwise identical on both sides, so the
+    # pairs are block-for-block the same program -> f32 roundoff.  smooth:
+    # the residual entry states differ at roundoff (different banded block
+    # partitions), which the pair's in-kernel bf16 rounding of d amplifies
+    # to bf16 grade — same tolerance structure as the single-step mxu test
+    # above; the convergence-count gate is the sharded pallas solve test.
+    for got_st, want, tol in ((za_st, fused1.apply(b), 2e-5),
+                              (sa_st, fused1.smooth(u, b), 3e-3)):
+        want = np.asarray(want)
+        got = unpartition_axis0(np.asarray(got_st), n, p, n_dev)
+        np.testing.assert_allclose(got, want, atol=tol * np.abs(want).max())
+        for s in range(n_dev - 1):
+            np.testing.assert_allclose(
+                np.asarray(got_st)[s][-1], np.asarray(got_st)[s + 1][0],
+                atol=1e-6 * np.abs(want).max(),
+            )
