@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 
 def main():
@@ -104,108 +105,113 @@ def main():
     trimmed = os.environ.get("PMG_BENCH_TRIMMED", "1") == "1"
     use_pallas_tr = os.environ.get("PMG_BENCH_PALLAS_TRANSFER", "1") == "1"
     use_mega = os.environ.get("PMG_BENCH_MEGA_COARSE", "0") == "1"
-    levels = []
-    prev_trimmed = False
-    cut = 0
-    if use_mega and variant == "auto" and trimmed:
-        # collapse the launch-bound sub-hierarchy below the first
-        # pallas-eligible level into ONE VMEM-resident kernel
-        from portable_multigrid_tpu.ops.pallas_coarse import (
-            CoarseCycleSmoother,
-            make_coarse_cycle,
-        )
-        from portable_multigrid_tpu.ops.pallas_laplace import pallas_eligible
 
-        cut = next(
-            (i for i, sp in enumerate(spaces)
-             if pallas_eligible(sp) or pallas_eligible(sp, 16, 16)),
-            0,
-        )
-        # cap the tail so the mega TOP level's trimmed extent stays <= 32:
-        # a 64-extent top level (k=5 tail at Q4) makes the Mosaic program
-        # large enough to OOM-SIGKILL the remote compile helper (r3
-        # batch-13); levels between the cap and the first pallas-eligible
-        # level run as plain kron/XLA levels
-        max_ext = int(os.environ.get("PMG_BENCH_MEGA_MAX_EXT", "32"))
-        while cut > 0 and spaces[cut - 1].grid_shape[0] - 1 > max_ext:
-            cut -= 1
-        if cut >= 2:
-            kern = make_coarse_cycle(spaces[:cut], dtype)
-            levels.append(MGLevel(
-                op=None, smoother=CoarseCycleSmoother(kern=kern),
-                transfer=None,
-            ))
-            prev_trimmed = True
-        else:
-            cut = 0
-    for i, sp in list(enumerate(spaces))[cut:]:
-        lop = build_op(sp)
-        # bf16-grade MXU kernel inside the (fully kernel-fused) Chebyshev
-        # recurrence only — the exact banded kernel keeps residuals/CG
-        # f32-exact; convergence counts verified unchanged in
-        # tests/test_pallas_smoother.py
-        fused = None
-        if variant == "auto" and i > 0 and isinstance(
-            lop, PallasLaplaceOperator
-        ) and smoother_core in ("mxu", "mxu3", "banded"):
-            fused = build_op(sp, core=smoother_core)
-            if not isinstance(fused, PallasLaplaceOperator):
-                fused = None
-        if i == 0:
-            # reference-faithful coarse setup: eig-CG iterations = m()
-            # (= n_dofs, tiny on the 1-cell base mesh) — identical to the
-            # models/ solvers so bench program == solver program literally
-            sm = make_chebyshev(
-                lop, smoothing_range=1e-3, degree=None,
-                eig_cg_n_iterations=sp.n_dofs,
+    def build_mg(use_cheb2: bool):
+        levels = []
+        prev_trimmed = False
+        cut = 0
+        if use_mega and variant == "auto" and trimmed:
+            # collapse the launch-bound sub-hierarchy below the first
+            # pallas-eligible level into ONE VMEM-resident kernel
+            from portable_multigrid_tpu.ops.pallas_coarse import (
+                CoarseCycleSmoother,
+                make_coarse_cycle,
             )
-        else:
-            resid3 = None
-            cheb2 = None
-            if trimmed and fused is not None:
-                from portable_multigrid_tpu.ops.pallas_laplace import (
-                    make_resid3_twin,
-                )
+            from portable_multigrid_tpu.ops.pallas_laplace import pallas_eligible
 
-                resid3 = make_resid3_twin(sp, lop, dtype)
-                if os.environ.get("PMG_BENCH_CHEB2", "1") == "1":
-                    # two-step fused recurrence pairs: one HBM pass per
-                    # pair of Chebyshev steps (ops/pallas_cheb2.py)
-                    from portable_multigrid_tpu.ops.pallas_cheb2 import (
-                        make_cheb2_auto,
-                    )
-
-                    cheb2 = make_cheb2_auto(sp, dtype)
-            sm = make_chebyshev(
-                lop, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
-                fused_smoother_op=fused,
-                trimmed_io=trimmed and fused is not None,
-                resid3_op=resid3,
-                cheb2_op=cheb2,
-                # production default (models/poisson.py): recurrence r/d
-                # streams stored bf16 — halves the dominant smoother HBM
-                # traffic, CG counts pinned by tests/test_pallas_smoother.py
-                state_dtype=(os.environ.get("PMG_BENCH_STATE_DTYPE", "bf16")
-                             if fused is not None else "f32"),
+            cut = next(
+                (i for i, sp in enumerate(spaces)
+                 if pallas_eligible(sp) or pallas_eligible(sp, 16, 16)),
+                0,
             )
-        cur_trimmed = bool(getattr(sm, "trimmed_io", False))
-        tr = None
-        if i > 0:
-            if cur_trimmed and use_pallas_tr:
-                from portable_multigrid_tpu.ops.pallas_transfer import (
-                    make_h_transfer_auto,
-                )
-
-                tr = make_h_transfer_auto(
-                    spaces[i - 1], sp, dtype, cur_trimmed, prev_trimmed
+            # cap the tail so the mega TOP level's trimmed extent stays <= 32:
+            # a 64-extent top level (k=5 tail at Q4) makes the Mosaic program
+            # large enough to OOM-SIGKILL the remote compile helper (r3
+            # batch-13); levels between the cap and the first pallas-eligible
+            # level run as plain kron/XLA levels
+            max_ext = int(os.environ.get("PMG_BENCH_MEGA_MAX_EXT", "32"))
+            while cut > 0 and spaces[cut - 1].grid_shape[0] - 1 > max_ext:
+                cut -= 1
+            if cut >= 2:
+                kern = make_coarse_cycle(spaces[:cut], dtype)
+                levels.append(MGLevel(
+                    op=None, smoother=CoarseCycleSmoother(kern=kern),
+                    transfer=None,
+                ))
+                prev_trimmed = True
+            else:
+                cut = 0
+        for i, sp in list(enumerate(spaces))[cut:]:
+            lop = build_op(sp)
+            # bf16-grade MXU kernel inside the (fully kernel-fused) Chebyshev
+            # recurrence only — the exact banded kernel keeps residuals/CG
+            # f32-exact; convergence counts verified unchanged in
+            # tests/test_pallas_smoother.py
+            fused = None
+            if variant == "auto" and i > 0 and isinstance(
+                lop, PallasLaplaceOperator
+            ) and smoother_core in ("mxu", "mxu3", "banded"):
+                fused = build_op(sp, core=smoother_core)
+                if not isinstance(fused, PallasLaplaceOperator):
+                    fused = None
+            if i == 0:
+                # reference-faithful coarse setup: eig-CG iterations = m()
+                # (= n_dofs, tiny on the 1-cell base mesh) — identical to the
+                # models/ solvers so bench program == solver program literally
+                sm = make_chebyshev(
+                    lop, smoothing_range=1e-3, degree=None,
+                    eig_cg_n_iterations=sp.n_dofs,
                 )
             else:
-                tr = make_h_transfer(spaces[i - 1], sp, dtype)
-        prev_trimmed = cur_trimmed
-        levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
-    levels, fine_trim = wire_trimmed(levels)
-    mg = VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
-                fine_trimmed=fine_trim, levels=tuple(levels))
+                resid3 = None
+                cheb2 = None
+                if trimmed and fused is not None:
+                    from portable_multigrid_tpu.ops.pallas_laplace import (
+                        make_resid3_twin,
+                    )
+
+                    resid3 = make_resid3_twin(sp, lop, dtype)
+                    if use_cheb2:
+                        # two-step fused recurrence pairs: one HBM pass per
+                        # pair of Chebyshev steps (ops/pallas_cheb2.py)
+                        from portable_multigrid_tpu.ops.pallas_cheb2 import (
+                            make_cheb2_auto,
+                        )
+
+                        cheb2 = make_cheb2_auto(sp, dtype)
+                sm = make_chebyshev(
+                    lop, smoothing_range=15.0, degree=5,
+                    eig_cg_n_iterations=10,
+                    fused_smoother_op=fused,
+                    trimmed_io=trimmed and fused is not None,
+                    resid3_op=resid3,
+                    cheb2_op=cheb2,
+                    # production default (models/poisson.py): recurrence r/d
+                    # streams stored bf16 — halves the dominant smoother HBM
+                    # traffic, CG counts pinned by tests/test_pallas_smoother.py
+                    state_dtype=(
+                        os.environ.get("PMG_BENCH_STATE_DTYPE", "bf16")
+                        if fused is not None else "f32"),
+                )
+            cur_trimmed = bool(getattr(sm, "trimmed_io", False))
+            tr = None
+            if i > 0:
+                if cur_trimmed and use_pallas_tr:
+                    from portable_multigrid_tpu.ops.pallas_transfer import (
+                        make_h_transfer_auto,
+                    )
+
+                    tr = make_h_transfer_auto(
+                        spaces[i - 1], sp, dtype, cur_trimmed, prev_trimmed
+                    )
+                else:
+                    tr = make_h_transfer(spaces[i - 1], sp, dtype)
+            prev_trimmed = cur_trimmed
+            levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
+        levels, fine_trim = wire_trimmed(levels)
+        return VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+                      fine_trimmed=fine_trim, levels=tuple(levels))
+
     b = jax.random.normal(jax.random.PRNGKey(1), fine.grid_shape, dtype)
     # mask the input: FusedChebyshev is equivalent to the plain smoother
     # only on masked inputs (constrained entries zero — the production
@@ -217,7 +223,24 @@ def main():
     # (2, 6): a 4-cycle slope — the tunneled attachment's per-call jitter is
     # the dominant noise source, so average over more cycles
     vc_iters = (1, 3) if refinements >= 7 else (2, 6)
-    t_vcycle = measure_op(mg.apply, b, iterations=vc_iters, repeats=3)
+
+    # cheb2 (two-step fused recurrence pairs) is the newest kernel family;
+    # if its Mosaic compile crashes on this chip/shape, fall back to the
+    # TPU-validated single-step fused pipeline rather than losing the
+    # round's bench number entirely.
+    want_cheb2 = os.environ.get("PMG_BENCH_CHEB2", "1") == "1"
+    fallback = None
+    mg = build_mg(use_cheb2=want_cheb2)
+    try:
+        t_vcycle = measure_op(mg.apply, b, iterations=vc_iters, repeats=3)
+    except Exception as e:  # noqa: BLE001 — Mosaic crashes surface here
+        if not want_cheb2:
+            raise
+        print(f"cheb2 V-cycle failed ({type(e).__name__}: {e}); "
+              "retrying without cheb2", file=sys.stderr)
+        fallback = "cheb2_disabled"
+        mg = build_mg(use_cheb2=False)
+        t_vcycle = measure_op(mg.apply, b, iterations=vc_iters, repeats=3)
     vcycle_dofs_per_s = n_dofs / t_vcycle
 
     result = {
@@ -236,6 +259,8 @@ def main():
         "dtype": "float32",
         "device": str(jax.devices()[0]),
     }
+    if fallback:
+        result["fallback"] = fallback
     print(json.dumps(result))
 
 
