@@ -137,6 +137,15 @@ class Cheb2Kernel:
     # reference parity: one hot kernel serial and MPI
     # (include/operators/portable_laplace_operator.h:557-719).
     xext: bool = static_field(default=False)
+    # yext=True: ditto for the y axis (2D pencil sharding over a 2D device
+    # mesh, parallel/mesh2d.py).  The y halos are Hd = roundup8(2p) planes
+    # of d and Hr = roundup8(p) of r per side (the y window offsets use the
+    # 8-rounded halo, so the caller ships the rounded count); every y window
+    # then starts at the 8-aligned jj*by*p.  With xext AND yext set, the
+    # pair kernel runs unchanged on an (x, y)-pencil shard — the same hot
+    # kernel for serial, 1D-slab and 2D-pencil runs (reference parity:
+    # include/operators/portable_laplace_operator.h:557-719).
+    yext: bool = static_field(default=False)
     mats: tuple = None  # (Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2K.., S2M..)
     facs: tuple = None  # (f1xK, f1xM, f1yK, f1yM, f2xK.., f2yM.., fzK, fzM)
 
@@ -217,7 +226,7 @@ class Cheb2Kernel:
                 for (px, xs, xr, xo) in axis_cases(ii, nbi, bxp, hx, W0,
                                                    N0t, ext=self.xext):
                     for (py, ys, yr, yo) in axis_cases(
-                            jj, nbj, byp, hy, W1, N1t):
+                            jj, nbj, byp, hy, W1, N1t, ext=self.yext):
 
                         def do(xs=xs, xr=xr, xo=xo, ys=ys, yr=yr, yo=yo):
                             cp = pltpu.make_async_copy(
@@ -247,8 +256,9 @@ class Cheb2Kernel:
                 if not self.xext:  # extended inputs carry real x halos
                     pl.when(ii == 0)(lambda: zx(0, hx))
                     pl.when(ii == nbi - 1)(lambda: zx(W0 - hx, hx))
-                pl.when(jj == 0)(lambda: zy(0, hy))
-                pl.when(jj == nbj - 1)(lambda: zy(W1 - hy, hy))
+                if not self.yext:  # ditto for pencil-sharded y
+                    pl.when(jj == 0)(lambda: zy(0, hy))
+                    pl.when(jj == nbj - 1)(lambda: zy(W1 - hy, hy))
 
             def start_fetch(slot, ii, jj):
                 zero_strips(slot, ii, jj, slab_d, 2 * p, Hd, Wx, Wy, ddt)

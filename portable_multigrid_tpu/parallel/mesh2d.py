@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import numpy as np
 import jax
@@ -311,6 +312,221 @@ def _build_stacked_pallas2d(
     )
 
 
+def _ext_axis(t: jnp.ndarray, h: int, axis: int, axis_name: str,
+              S: int) -> jnp.ndarray:
+    """Prepend/append ``h`` planes from the left/right neighbours along one
+    sharded axis (zeros at the global ends — lax.ppermute yields zeros for
+    unpaired shards).  The 2D-pencil generalisation of
+    sharding.ShardedFusedChebyshev._ext_both."""
+    if S == 1:
+        z = jnp.zeros(t.shape[:axis] + (h,) + t.shape[axis + 1:], t.dtype)
+        return jnp.concatenate([z, t, z], axis=axis)
+    fwd = [(i, i + 1) for i in range(S - 1)]
+    bwd = [(i + 1, i) for i in range(S - 1)]
+    n_ax = t.shape[axis]
+    left = jax.lax.ppermute(
+        jax.lax.slice_in_dim(t, n_ax - h, n_ax, axis=axis), axis_name, fwd
+    )
+    right = jax.lax.ppermute(
+        jax.lax.slice_in_dim(t, 0, h, axis=axis), axis_name, bwd
+    )
+    return jnp.concatenate([left, t, right], axis=axis)
+
+
+def _build_stacked_cheb2_2d(
+    space: FESpace, sx: int, sy: int, dtype, interpret: bool = False,
+    bx: int | None = None, by: int | None = None, exact: bool = False,
+):
+    """Stacked xext+yext Cheb2Kernel for the 2D-pencil pair smoother, or
+    None if ineligible.  The per-block x (y) matrix/factor stacks of the
+    GLOBAL kernel partition naturally per x- (y-) shard; everything else
+    broadcasts.  Inside shard_map the kernel is block-for-block the
+    single-chip pair on the same windows (the 2D analog of
+    parallel/poisson.py:_build_stacked_cheb2)."""
+    import dataclasses as _dc
+
+    from ..ops.pallas_cheb2 import _roundup8, cheb2_vmem_ok, make_cheb2
+    from ..ops.pallas_laplace import lane_pad
+
+    if dtype != jnp.float32:
+        return None
+    n, p = space.mesh.cells_per_axis, space.degree
+    if n % sx or n % sy:
+        return None
+    nlx, nly = n // sx, n // sy
+    if not interpret and (n * p < 128 or lane_pad(space) != 0):
+        return None  # no lane-padded sharded pair kernel yet
+    Hd = _roundup8(2 * p)
+
+    def pickb(cells, req):
+        for b in (16, 8, 4, 2):
+            if b == 16 and n * p > 256:
+                continue
+            if (cells % b == 0 and (b * p) % 8 == 0 and b * p >= req
+                    and cheb2_vmem_ok(b, b, p, n * p)):
+                return b
+        return None
+
+    bx = bx if bx is not None else pickb(nlx, 2 * p)
+    by = by if by is not None else pickb(nly, Hd)
+    if bx is None or by is None:
+        return None
+    if not (interpret or cheb2_vmem_ok(bx, by, p, n * p)):
+        return None
+    kern = make_cheb2(space, dtype, bx=bx, by=by, zpad=0,
+                      interpret=interpret, exact=exact)
+    nbi_loc, nbj_loc = nlx // bx, nly // by
+    if nbi_loc == 0 or nlx % bx or nbj_loc == 0 or nly % by:
+        return None
+
+    def part_x(a):  # [sx*nbi_loc, ...] -> [sx, sy, nbi_loc, ...]
+        a = a.reshape((sx, nbi_loc) + a.shape[1:])
+        return jnp.broadcast_to(a[:, None], (sx, sy) + a.shape[1:])
+
+    def part_y(a):  # [sy*nbj_loc, ...] -> [sx, sy, nbj_loc, ...]
+        a = a.reshape((sy, nbj_loc) + a.shape[1:])
+        return jnp.broadcast_to(a[None], (sx, sy) + a.shape[1:])
+
+    def tile(a):
+        return jnp.broadcast_to(a[None, None], (sx, sy) + a.shape)
+
+    x_mat_idx = {2, 3, 6, 7}  # S1Kx, S1Mx, S2Kx, S2Mx
+    y_mat_idx = {4, 5, 8, 9}  # S1Ky, S1My, S2Ky, S2My
+    x_fac_idx = {0, 1}  # f0xK, f0xM
+    y_fac_idx = {2, 3}  # f0yK, f0yM
+    return _dc.replace(
+        kern,
+        n=(nlx, nly, n),
+        xext=True,
+        yext=True,
+        mats=tuple(
+            part_x(m) if ix in x_mat_idx
+            else part_y(m) if ix in y_mat_idx else tile(m)
+            for ix, m in enumerate(kern.mats)
+        ),
+        facs=tuple(
+            part_x(f) if ix in x_fac_idx
+            else part_y(f) if ix in y_fac_idx else tile(f)
+            for ix, f in enumerate(kern.facs)
+        ),
+    )
+
+
+@pytree_dataclass
+class ShardedFused2DChebyshev:
+    """Halo-aware fused Chebyshev smoothing on pencil-sharded pallas levels.
+
+    The 2D-pencil counterpart of sharding.ShardedFusedChebyshev, built
+    entirely on the two-step pair kernel (ops/pallas_cheb2.py) in xext+yext
+    mode: before each pair the d/r halos (2p/p planes in x, the 8-rounded
+    Hd/Hr planes in y, per side) ship via ordered ppermute exchanges
+    (y first, then x of the y-extended state, so corner halos arrive
+    transitively) and every in-window output row is exact — no boundary
+    corrections.  The entry residual half-step runs on the EXACT sharded
+    banded operator (the production invariant: residuals stay f32-exact on
+    the banded core).  Requires an even recurrence step count
+    (degree - 1; the production smoother degree is 5).  Reference parity:
+    one hot kernel serial and MPI
+    (include/operators/portable_laplace_operator.h:557-719).
+
+    Public surface is full-slab IO (smooth / apply), so the sharded
+    V-cycle composition is unchanged.
+    """
+
+    sx: int = static_field()
+    sy: int = static_field()
+    degree: int = static_field()
+    op: object = None  # exact ShardedPallas2DLaplace (residual entry)
+    op_cheb2: object = None  # xext+yext Cheb2Kernel
+    theta: jnp.ndarray = None
+    delta: jnp.ndarray = None
+
+    @property
+    def _dims(self):
+        loc = self.op.local
+        g = loc.grid_shape
+        return g, g[0] - 1, g[1] - 1, loc.n[2] * loc.degree
+
+    def _trim(self, t):
+        g, Lx, Ly, Z = self._dims
+        return t.reshape(g)[:Lx, :Ly, :Z]
+
+    def _diag_trimmed(self):
+        loc = self.op.local
+        _, Lx, Ly, Z = self._dims
+        xK = loc.dK1[0][:Lx].reshape(-1, 1, 1)
+        xM = loc.dM1[0][:Lx].reshape(-1, 1, 1)
+        yK = loc.dK1[1][:Ly].reshape(1, -1, 1)
+        yM = loc.dM1[1][:Ly].reshape(1, -1, 1)
+        zK = loc.dK1[2][:Z].reshape(1, 1, -1)
+        zM = loc.dM1[2][:Z].reshape(1, 1, -1)
+        return xK * yM * zM + xM * (yK * zM + yM * zK)
+
+    def _ext2(self, t, hx, hy):
+        t = _ext_axis(t, hy, 1, AY, self.sy)
+        return _ext_axis(t, hx, 0, AX, self.sx)
+
+    def _to_full(self, x):
+        """Trimmed per-shard state -> full consistent pencil slab: the
+        duplicated planes come from the right y/x neighbours (the x payload
+        is the y-APPENDED state, so the corner point rides along); Dirichlet
+        planes re-padded with zeros."""
+        if self.sy == 1:
+            py = jnp.zeros_like(x[:, :1])
+        else:
+            bwd = [(j + 1, j) for j in range(self.sy - 1)]
+            py = jax.lax.ppermute(x[:, :1], AY, bwd)
+        x = jnp.concatenate([x, py], axis=1)
+        if self.sx == 1:
+            px = jnp.zeros_like(x[:1])
+        else:
+            bwd = [(i + 1, i) for i in range(self.sx - 1)]
+            px = jax.lax.ppermute(x[:1], AX, bwd)
+        x = jnp.concatenate([x, px], axis=0)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 1)))
+
+    def _steps(self, r, d, x):
+        from ..ops.pallas_cheb2 import _roundup8
+
+        p = self.op_cheb2.degree
+        Hd = _roundup8(2 * p)
+        Hr = _roundup8(p)
+        sigma1 = self.theta / self.delta
+        rho = 1.0 / sigma1
+        n = self.degree - 1
+        k = 0
+        while k < n:
+            rho1 = 1.0 / (2.0 * sigma1 - rho)
+            rho2 = 1.0 / (2.0 * sigma1 - rho1)
+            scal = jnp.stack([
+                rho1 * rho, 2.0 * rho1 / self.delta,
+                rho2 * rho1, 2.0 * rho2 / self.delta,
+            ]).astype(jnp.float32)
+            last = k + 2 == n
+            outs = self.op_cheb2.steps2(
+                self._ext2(d, 2 * p, Hd), self._ext2(r, p, Hr), x,
+                scal, "cheb2l" if last else "cheb2", sdtype="f32",
+            )
+            if last:
+                return outs[0]
+            r, d, x = outs
+            rho = rho2
+            k += 2
+        return x
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Preconditioner vmult with x0 = 0 on a masked full pencil slab."""
+        bt = self._trim(b)
+        d0 = bt / (self.theta * self._diag_trimmed())
+        return self._to_full(self._steps(bt, d0, d0))
+
+    def smooth(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+        r0 = self._trim(rhs - self.op.apply(u))
+        d0 = r0 / (self.theta * self._diag_trimmed())
+        x0 = self._trim(u) + d0
+        return self._to_full(self._steps(r0, d0, x0))
+
+
 @pytree_dataclass
 class Gather2DTransfer:
     """Boundary transfer between a pencil-SHARDED fine level and a REPLICATED
@@ -498,13 +714,33 @@ class Sharded2DGeometricPoisson:
                 alpha, beta, deg = chebyshev_bounds(
                     mn, mx, rng, None if coarse else 5
                 )
-                smoother = Chebyshev(
-                    degree=deg, op=None, inv_diag=None,
-                    theta=_tile2(np.full((), (beta + alpha) / 2.0), sx, sy,
-                                 dtype),
-                    delta=_tile2(np.full((), (beta - alpha) / 2.0), sx, sy,
-                                 dtype),
-                )
+                smoother = None
+                if (not coarse and deg is not None and deg >= 3
+                        and (deg - 1) % 2 == 0
+                        and os.environ.get("PMG_CHEB2", "1") == "1"):
+                    # production fast path on the 2D pencil mesh: all
+                    # recurrence steps run as xext+yext cheb2 pairs
+                    cheb2_2d = _build_stacked_cheb2_2d(
+                        sp, sx, sy, dtype, interpret=self.pallas_interpret
+                    )
+                    if cheb2_2d is not None:
+                        smoother = ShardedFused2DChebyshev(
+                            sx=sx, sy=sy, degree=deg,
+                            op=None,  # wired to the level op in shard_map
+                            op_cheb2=cheb2_2d,
+                            theta=_tile2(np.full((), (beta + alpha) / 2.0),
+                                         sx, sy, dtype),
+                            delta=_tile2(np.full((), (beta - alpha) / 2.0),
+                                         sx, sy, dtype),
+                        )
+                if smoother is None:
+                    smoother = Chebyshev(
+                        degree=deg, op=None, inv_diag=None,
+                        theta=_tile2(np.full((), (beta + alpha) / 2.0), sx,
+                                     sy, dtype),
+                        delta=_tile2(np.full((), (beta - alpha) / 2.0), sx,
+                                     sy, dtype),
+                    )
                 return MGLevel(op=op2d, smoother=smoother, transfer=None)
             variant = "kron"  # ineligible level: assembled-Kronecker path
         b = sp.basis
@@ -628,13 +864,18 @@ class Sharded2DGeometricPoisson:
             else:
                 op_w = Sharded2DLaplace(sx=self.sx, sy=self.sy, local=op_loc)
             sm_st = lvl.smoother
-            sm = Chebyshev(
-                degree=sm_st.degree,
-                op=op_w,
-                inv_diag=None,  # op_w.inv_diag, formed from local 1D factors
-                theta=sm_st.theta[0, 0],
-                delta=sm_st.delta[0, 0],
-            )
+            if isinstance(sm_st, ShardedFused2DChebyshev):
+                sm = dataclasses.replace(
+                    _unstack(_unstack(sm_st)), op=op_w
+                )
+            else:
+                sm = Chebyshev(
+                    degree=sm_st.degree,
+                    op=op_w,
+                    inv_diag=None,  # op_w.inv_diag from local 1D factors
+                    theta=sm_st.theta[0, 0],
+                    delta=sm_st.delta[0, 0],
+                )
             if lvl.transfer is None:
                 tr = None
             elif i <= R and R > 0:

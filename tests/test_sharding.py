@@ -529,3 +529,96 @@ def test_sharded_cheb2_pairs_match_single_chip():
                 np.asarray(got_st)[s][-1], np.asarray(got_st)[s + 1][0],
                 atol=1e-6 * np.abs(want).max(),
             )
+
+
+def test_2d_pencil_cheb2_pairs_match_single_chip():
+    """The two-step pair kernel in xext+yext mode on a 2x2 pencil mesh:
+    before each pair the halos ship by ordered y-then-x ppermute exchanges
+    and the per-block x/y matrix stacks are per-shard slices of the global
+    stacks — block-for-block the single-chip pair (the 2D analog of
+    test_sharded_cheb2_pairs_match_single_chip)."""
+    from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2
+    from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+    from portable_multigrid_tpu.parallel.mesh2d import (
+        AX,
+        AY,
+        ShardedFused2DChebyshev,
+        _build_stacked_cheb2_2d,
+        _build_stacked_pallas2d,
+        partition_2d,
+        unpartition_2d,
+    )
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    dim, p, r, sx, sy = 3, 4, 3, 2, 2
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    n = sp.mesh.cells_per_axis
+    exact1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True)
+    mxu1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True,
+                               core="mxu")
+    k2_1 = make_cheb2(sp, jnp.float32, bx=2, by=2, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    fused1 = FusedChebyshev(degree=5, op=exact1, op_smooth=mxu1,
+                            op_cheb2=k2_1, theta=theta, delta=delta)
+
+    rng = np.random.default_rng(7)
+    m = np.asarray(exact1.mask)
+    b = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+    u = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+
+    op_st = _build_stacked_pallas2d(sp, sx, sy, jnp.float32, interpret=True)
+    k2_st = _build_stacked_cheb2_2d(sp, sx, sy, jnp.float32, interpret=True,
+                                    bx=2, by=2)
+    assert op_st is not None and k2_st is not None
+    b_st = jnp.asarray(partition_2d(b, n, p, sx, sy))
+    u_st = jnp.asarray(partition_2d(u, n, p, sx, sy))
+
+    sm_st = ShardedFused2DChebyshev(
+        sx=sx, sy=sy, degree=5,
+        op=op_st, op_cheb2=k2_st,
+        theta=jnp.broadcast_to(theta, (sx, sy)),
+        delta=jnp.broadcast_to(delta, (sx, sy)),
+    )
+    mesh2 = Mesh(np.array(jax.devices()[: sx * sy]).reshape(sx, sy),
+                 (AX, AY))
+
+    def f(sm_stacked, u_stacked, b_stacked):
+        sm = _unstack(_unstack(sm_stacked))
+        return (sm.apply(b_stacked[0, 0])[None, None],
+                sm.smooth(u_stacked[0, 0], b_stacked[0, 0])[None, None])
+
+    za_st, sa_st = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh2,
+            in_specs=(P(AX, AY), P(AX, AY), P(AX, AY)),
+            out_specs=(P(AX, AY),) * 2,
+            check_vma=False,
+        )
+    )(sm_st, u_st, b_st)
+
+    # apply: the d0 entry is elementwise identical and the pair windows are
+    # block-for-block the single-chip blocks -> f32 roundoff.  smooth: the
+    # entry residual states differ at roundoff (pencil slab kernel + thin
+    # completions vs the single-chip residual3 kernel), which the pair's
+    # in-kernel bf16 rounding of d amplifies to bf16 grade — the same
+    # tolerance structure as the 1D slab test; the convergence-count gate
+    # is test_2d_pencil_pallas_solve_matches_single_device (which runs the
+    # fused pair smoother by default).
+    for got_st, want, tol in ((za_st, fused1.apply(b), 2e-5),
+                              (sa_st, fused1.smooth(u, b), 3e-3)):
+        want = np.asarray(want)
+        got = unpartition_2d(np.asarray(got_st), n, p, sx, sy)
+        np.testing.assert_allclose(got, want, atol=tol * np.abs(want).max())
+        # duplicated boundary planes must agree between neighbours
+        st = np.asarray(got_st)
+        for i in range(sx - 1):
+            np.testing.assert_allclose(
+                st[i, 0][-1], st[i + 1, 0][0],
+                atol=1e-6 * np.abs(want).max(),
+            )
+        for j in range(sy - 1):
+            np.testing.assert_allclose(
+                st[0, j][:, -1], st[0, j + 1][:, 0],
+                atol=1e-6 * np.abs(want).max(),
+            )
