@@ -56,6 +56,9 @@ def cheb2_compile(bx, by, r=6, p=4, sdtype="bf16"):
 probe("cheb2_compile_16x8", lambda: cheb2_compile(16, 8))
 ok_88 = probe("cheb2_compile_8x8", lambda: cheb2_compile(8, 8))
 probe("cheb2_compile_16x16", lambda: cheb2_compile(16, 16))
+# r=7 (512 lanes): the auto pick is (16, 8); a crash here means the r=7
+# V-cycle silently loses cheb2 through bench.py's fallback ladder
+probe("cheb2_compile_16x8_r7", lambda: cheb2_compile(16, 8, r=7))
 
 
 def cheb2f0_compile(bx, by, r=6, p=4):
