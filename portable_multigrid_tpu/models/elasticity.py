@@ -35,15 +35,21 @@ class ElasticityMultigrid:
         mu: float = 1.0,
         lam: float = 1.0,
         dtype=jnp.float64,
+        variant: str = "kron",
     ):
         self.dtype = dtype
         mesh = HyperCubeMesh(dim, refinements)
         self.spaces = [
             FESpace(m, degree) for m in geometric_coarsening_sequence(mesh)
         ]
+        # kron (assembled 1D matrices, large MXU matmuls) is the fast path
+        # on TPU, exactly like the scalar operator; "high" (3-pass bf16,
+        # ~f32 accuracy) matches the scalar bench/model precision at f32
+        precision = "high" if dtype == jnp.float32 else "highest"
         levels = []
         for i, sp in enumerate(self.spaces):
-            op = make_elasticity(sp, dtype, mu=mu, lam=lam)
+            op = make_elasticity(sp, dtype, mu=mu, lam=lam, variant=variant,
+                                 precision=precision)
             if i == 0:
                 sm = make_chebyshev(
                     op,

@@ -37,6 +37,7 @@ class ElasticityOperator:
     degree: int = static_field()
     n: tuple = static_field()
     precision: str = static_field(default="highest")
+    variant: str = static_field(default="sumfac")  # "sumfac" | "kron"
     mu: float = static_field(default=1.0)
     lam: float = static_field(default=1.0)
     B: jnp.ndarray = None
@@ -44,6 +45,14 @@ class ElasticityOperator:
     qmetric: jnp.ndarray = None  # w ⊗ ... ⊗ w * h^(dim-2)
     mask: jnp.ndarray = None  # scalar grid mask (shared by all components)
     inv_diag: jnp.ndarray = None  # [dim, grid]
+    # "kron" variant: assembled global 1D matrices (the elasticity weak form
+    # factorizes EXACTLY over the tensor-product mesh, like the scalar
+    # apply_kron — ops/laplace.py:208): stiffness K, mass M, and the
+    # gradient matrix G1[i,j] = ∫ l_i' l_j dx (test-derivative rows)
+    Kg: jnp.ndarray = None
+    Mg: jnp.ndarray = None
+    Gg: jnp.ndarray = None
+    GgT: jnp.ndarray = None  # host-transposed copy (trial-derivative axes)
 
     @property
     def grid_shape(self) -> tuple[int, ...]:
@@ -60,7 +69,63 @@ class ElasticityOperator:
             out *= s
         return out
 
+    def apply_kron(self, um: jnp.ndarray) -> jnp.ndarray:
+        """Apply via assembled global 1D matrices (Kronecker form).
+
+        Weak-form factorization per test component c (test function e_c φ):
+
+          out_c = mu Σ_a D(∂a, ∂a) u_c + mu Σ_a D(∂a, ∂c) u_a
+                  + lam Σ_a D(∂c, ∂a) u_a
+
+        where D(∂e, ∂f) is the scalar trilinear term with the test
+        derivative on axis e and the trial derivative on axis f: K on the
+        axis if e == f, else G on axis e and Gᵀ on axis f, M elsewhere —
+        every term a chain of dim large MXU matmuls on the contiguous DoF
+        grid (the TPU-shaped reformulation of the reference's q-point
+        gradient-tensor loop, portable_laplace_operator.h:300-325)."""
+        dim = self.dim
+        mu, lam = self.mu, self.lam
+        K, M, G, GT = self.Kg, self.Mg, self.Gg, self.GgT
+
+        def ctr(t, W, ax):
+            out = jnp.tensordot(t, W, axes=((ax,), (1,)),
+                                precision=self.precision)
+            return jnp.moveaxis(out, -1, ax)
+
+        def kron(w, mats):
+            for ax in reversed(range(dim)):
+                w = ctr(w, mats[ax], ax)
+            return w
+
+        def pattern(e, f):
+            """Per-axis matrices for D(∂e, ∂f), e != f."""
+            return tuple(
+                G if a == e else GT if a == f else M for a in range(dim)
+            )
+
+        outs = []
+        for c in range(dim):
+            # diagonal block: Σ_a alpha_a D(∂a, ∂a) u_c with
+            # alpha_c = 2 mu + lam (the a == c terms of all three sums),
+            # alpha_a = mu otherwise
+            out = None
+            for a in range(dim):
+                alpha = 2.0 * mu + lam if a == c else mu
+                mats = tuple(K if ax == a else M for ax in range(dim))
+                t = alpha * kron(um[c], mats)
+                out = t if out is None else out + t
+            # mixed blocks (a != c): mu D(∂a, ∂c) u_a + lam D(∂c, ∂a) u_a
+            for a in range(dim):
+                if a == c:
+                    continue
+                out = out + mu * kron(um[a], pattern(a, c))
+                out = out + lam * kron(um[a], pattern(c, a))
+            outs.append(out)
+        return jnp.stack(outs)
+
     def apply_bilinear(self, um: jnp.ndarray) -> jnp.ndarray:
+        if self.variant == "kron":
+            return self.apply_kron(um)
         dim, B, Dco = self.dim, self.B, self.Dco
         qaxes = [2 * d + 1 for d in range(dim)]
         w = self.qmetric.reshape(
@@ -164,8 +229,26 @@ def _elasticity_diagonal(space: FESpace, mu: float, lam: float) -> np.ndarray:
     return diag * m + (1.0 - m)
 
 
+def assembled_1d_gradient(space: FESpace) -> np.ndarray:
+    """Assembled 1D gradient matrix on the axis DoF grid (NumPy):
+    G1[i,j] = ∫ l_i' l_j dx over the 1D mesh (test-derivative rows; h-free —
+    the 1/h of the derivative cancels the h of dx)."""
+    b = space.basis
+    W = np.diag(b.q_weights)
+    Gc = b.D.T @ W @ b.B
+    n = space.mesh.cells_per_axis
+    p = space.degree
+    N = space.points_per_axis
+    G1 = np.zeros((N, N))
+    for c in range(n):
+        sl = slice(c * p, c * p + p + 1)
+        G1[sl, sl] += Gc
+    return G1
+
+
 def make_elasticity(
-    space: FESpace, dtype=jnp.float64, mu: float = 1.0, lam: float = 1.0
+    space: FESpace, dtype=jnp.float64, mu: float = 1.0, lam: float = 1.0,
+    variant: str = "sumfac", precision: str = "highest",
 ) -> ElasticityOperator:
     b = space.basis
     dim = space.dim
@@ -174,10 +257,22 @@ def make_elasticity(
         qm = np.multiply.outer(qm, b.q_weights)
     qm = qm * space.mesh.h ** (dim - 2)
     diag = _elasticity_diagonal(space, mu, lam)
+    Kg = Mg = Gg = GgT = None
+    if variant == "kron":
+        from .laplace import assembled_1d_matrices
+
+        K1, M1 = assembled_1d_matrices(space)
+        G1 = assembled_1d_gradient(space)
+        Kg = jnp.asarray(K1, dtype)
+        Mg = jnp.asarray(M1, dtype)
+        Gg = jnp.asarray(G1, dtype)
+        GgT = jnp.asarray(G1.T, dtype)
     return ElasticityOperator(
         dim=dim,
         degree=space.degree,
         n=(space.mesh.cells_per_axis,) * dim,
+        precision=precision,
+        variant=variant,
         mu=float(mu),
         lam=float(lam),
         B=jnp.asarray(b.B, dtype),
@@ -185,6 +280,10 @@ def make_elasticity(
         qmetric=jnp.asarray(qm, dtype),
         mask=jnp.asarray(space.free_mask(), dtype),
         inv_diag=jnp.asarray(1.0 / diag, dtype),
+        Kg=Kg,
+        Mg=Mg,
+        Gg=Gg,
+        GgT=GgT,
     )
 
 

@@ -63,3 +63,18 @@ def test_elasticity_mg_solve():
     np.testing.assert_allclose(
         np.asarray(x).reshape(-1), want, atol=1e-9 * np.abs(want).max()
     )
+
+
+@pytest.mark.parametrize("dim,p,r", CASES)
+def test_elasticity_kron_matches_dense(dim, p, r):
+    """The assembled-1D-matrix (Kronecker) fast path is the exact same
+    operator: the elasticity weak form factorizes globally over the
+    tensor-product mesh (stiffness/mass/gradient 1D matrices)."""
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    A = dense_elasticity_operator(sp, mu=0.7, lam=1.3)
+    op = make_elasticity(sp, mu=0.7, lam=1.3, variant="kron")
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((dim,) + sp.grid_shape)
+    got = np.asarray(op.apply(u)).reshape(-1)
+    want = A @ u.reshape(-1)
+    np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
