@@ -537,12 +537,23 @@ def cheb2_vmem_ok(bx: int, by: int, p: int, Z: int) -> bool:
 def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
                     interpret: bool = False):
     """Block-size auto-pick with a VMEM budget estimate; None if no
-    eligible configuration fits."""
+    eligible configuration fits.
+
+    PMG_CHEB2_BLOCK="BXxBY" (e.g. "8x8") restricts the candidate list to a
+    single block shape — a deployment escape hatch in case the default
+    (16, 8) shape hits a Mosaic crash on some grid while another compiles
+    (the crash envelope is empirical; see CLAUDE.md round-3 rules)."""
+    import os
+
     p = space.degree
     n = space.mesh.cells_per_axis
     Z = n * p + lane_pad(space)
-    for bx, by in ((16, 8), (8, 8), (16, 16)) if Z <= 256 else (
-            (16, 8), (8, 8)):
+    cands = ((16, 8), (8, 8), (16, 16)) if Z <= 256 else ((16, 8), (8, 8))
+    forced = os.environ.get("PMG_CHEB2_BLOCK")
+    if forced:
+        bx, by = (int(v) for v in forced.lower().split("x"))
+        cands = ((bx, by),)
+    for bx, by in cands:
         if not cheb2_eligible(space, bx, by):
             continue
         if cheb2_vmem_ok(bx, by, p, Z):
