@@ -230,17 +230,32 @@ def main():
     # round's bench number entirely.
     want_cheb2 = os.environ.get("PMG_BENCH_CHEB2", "1") == "1"
     fallback = None
-    mg = build_mg(use_cheb2=want_cheb2)
-    try:
-        t_vcycle = measure_op(mg.apply, b, iterations=vc_iters, repeats=3)
-    except Exception as e:  # noqa: BLE001 — Mosaic crashes surface here
-        if not want_cheb2:
-            raise
-        print(f"cheb2 V-cycle failed ({type(e).__name__}: {e}); "
-              "retrying without cheb2", file=sys.stderr)
-        fallback = "cheb2_disabled"
-        mg = build_mg(use_cheb2=False)
-        t_vcycle = measure_op(mg.apply, b, iterations=vc_iters, repeats=3)
+    # fallback ladder: auto block shape -> forced 8x8 (the smallest
+    # Mosaic-proven shape) -> single-step fused pipeline (TPU-validated)
+    attempts = ([(True, None), (True, "8x8"), (False, None)]
+                if want_cheb2 else [(False, None)])
+    if os.environ.get("PMG_CHEB2_BLOCK"):
+        attempts = [(want_cheb2, os.environ["PMG_CHEB2_BLOCK"]),
+                    (False, None)] if want_cheb2 else attempts
+    for idx, (use_cheb2, blk) in enumerate(attempts):
+        if blk is None:
+            os.environ.pop("PMG_CHEB2_BLOCK", None)
+        else:
+            os.environ["PMG_CHEB2_BLOCK"] = blk
+        mg = build_mg(use_cheb2=use_cheb2)
+        try:
+            t_vcycle = measure_op(mg.apply, b, iterations=vc_iters,
+                                  repeats=3)
+            if idx > 0:
+                fallback = (f"cheb2_block_{blk}" if use_cheb2
+                            else "cheb2_disabled")
+            break
+        except Exception as e:  # noqa: BLE001 — Mosaic crashes surface here
+            if idx == len(attempts) - 1:
+                raise
+            print(f"V-cycle attempt {idx} (cheb2={use_cheb2}, block={blk}) "
+                  f"failed ({type(e).__name__}: {e}); falling back",
+                  file=sys.stderr)
     vcycle_dofs_per_s = n_dofs / t_vcycle
 
     result = {
