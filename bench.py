@@ -209,7 +209,11 @@ def main():
             prev_trimmed = cur_trimmed
             levels.append(MGLevel(op=lop, smoother=sm, transfer=tr))
         levels, fine_trim = wire_trimmed(levels)
-        return VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+        # diagnostics knob: the (pre, post) step count (default the
+        # production V(2,2)); experiments measure the marginal smoothing
+        # cost from the slope between two step counts
+        steps = int(os.environ.get("PMG_BENCH_SMOOTH_STEPS", "2"))
+        return VCycle(pre_smoothing_steps=steps, post_smoothing_steps=steps,
                       fine_trimmed=fine_trim, levels=tuple(levels))
 
     b = jax.random.normal(jax.random.PRNGKey(1), fine.grid_shape, dtype)
