@@ -25,6 +25,78 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
+
+
+def _probe_backend(timeout_s: float) -> tuple[bool, str]:
+    """Probe backend init + one tiny device op in a SUBPROCESS.
+
+    The round-3 bench forfeited its artifact to a transient tunnel outage
+    (`BENCH_r03.json` rc=1: "Unable to initialize backend 'axon'"), and the
+    observed round-4 failure mode is a HANG inside ``jax.devices()`` — so the
+    probe must be killable, i.e. its own process with a hard timeout."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "x = jnp.ones((8, 128))\n"
+        "assert float(x.sum()) == 1024.0\n"
+        "print('PMG_BACKEND_OK', d[0].platform, d[0])\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe timed out after {timeout_s:.0f}s"
+    for line in r.stdout.splitlines():
+        if line.startswith("PMG_BACKEND_OK"):
+            platform = line.split()[1]
+            if platform == "cpu" and not os.environ.get("PMG_BENCH_ALLOW_CPU"):
+                return False, "only the CPU backend is available"
+            return True, line
+    tail = (r.stderr or r.stdout).strip().splitlines()
+    return False, (tail[-1] if tail else f"probe exited rc={r.returncode}")
+
+
+def acquire_backend() -> tuple[bool, str]:
+    """Retry the backend probe with backoff until it succeeds or the wait
+    budget (PMG_BENCH_BACKEND_WAIT, default 600 s) is exhausted."""
+    budget = float(os.environ.get("PMG_BENCH_BACKEND_WAIT", "600"))
+    per_probe = float(os.environ.get("PMG_BENCH_BACKEND_PROBE_TIMEOUT", "120"))
+    t0 = time.time()
+    attempt = 0
+    delay = 10.0
+    while True:
+        attempt += 1
+        ok, detail = _probe_backend(per_probe)
+        if ok:
+            print(f"backend probe ok (attempt {attempt}): {detail}",
+                  file=sys.stderr)
+            return True, detail
+        elapsed = time.time() - t0
+        print(f"backend probe attempt {attempt} failed after "
+              f"{elapsed:.0f}s: {detail}", file=sys.stderr)
+        if elapsed + delay > budget:
+            return False, detail
+        time.sleep(delay)
+        delay = min(delay * 1.5, 60.0)
+
+
+def _emit_error(kind: str, detail: str) -> None:
+    """One parseable JSON line instead of a traceback: the driver records a
+    structured degraded result rather than rc=1 (VERDICT r3 item 1)."""
+    dim = os.environ.get("PMG_BENCH_DIM", "3")
+    degree = os.environ.get("PMG_BENCH_DEGREE", "4")
+    print(json.dumps({
+        "metric": f"vcycle_dof_throughput_{dim}d_q{degree}",
+        "value": 0.0,
+        "unit": "DoF/s",
+        "vs_baseline": 0.0,
+        "error": f"{kind}: {detail}",
+    }))
 
 
 def main():
@@ -284,4 +356,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ok, detail = acquire_backend()
+    if not ok:
+        _emit_error("backend_unavailable", detail)
+        sys.exit(0)
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — still emit a parseable record
+        import traceback
+
+        traceback.print_exc()
+        _emit_error(type(e).__name__, str(e).splitlines()[0] if str(e) else "")
+        sys.exit(0)
