@@ -141,3 +141,76 @@ def test_cheb2_smoother_preserves_convergence_counts():
     assert st.solution_l2_norm == pytest.approx(
         st_base.solution_l2_norm, rel=1e-7
     )
+
+
+def test_cheb2_auto_ladder_degrades_on_compile_crash(monkeypatch):
+    """Fault injection for the library fallback ladder (VERDICT r3 item 4):
+    when the first candidate block's compile probe fails, make_cheb2_auto
+    returns the next rung; when every rung fails it returns None (callers
+    then run the single-step fused pipeline) and the production solve still
+    converges with the golden CG history."""
+    from portable_multigrid_tpu.ops import pallas_cheb2 as pc2
+
+    sp = FESpace(HyperCubeMesh(3, 4), 2)  # n=16: rungs (16,8),(8,8),(16,16)
+
+    # rung 1 crashes -> rung 2 (8,8) is picked
+    monkeypatch.setattr(
+        pc2, "cheb2_compile_ok",
+        lambda kern, *a, **k: (kern.bx, kern.by) != (16, 8),
+    )
+    kern = pc2.make_cheb2_auto(sp, jnp.float32, interpret=True,
+                               validate=True)
+    assert kern is not None and (kern.bx, kern.by) == (8, 8)
+
+    # every rung crashes -> None (single-step fused pipeline)
+    monkeypatch.setattr(pc2, "cheb2_compile_ok", lambda *a, **k: False)
+    assert pc2.make_cheb2_auto(sp, jnp.float32, interpret=True,
+                               validate=True) is None
+
+    # the degraded configuration preserves the CG convergence history:
+    # solve once with a ladder-picked pair kernel (first candidate fails
+    # its probe), once fully degraded, and compare both against the plain
+    # mixed-precision baseline (small r=3 grid keeps interpret mode fast)
+    dim, p, r = 3, 2, 3
+    monkeypatch.setattr(
+        pc2, "cheb2_compile_ok",
+        lambda kern, *a, **k: (kern.bx, kern.by) != (16, 8),
+    )
+    sp3 = FESpace(HyperCubeMesh(dim, r), p)
+    kern = pc2.make_cheb2_auto(sp3, jnp.float32, interpret=True,
+                               validate=True)
+    assert kern is not None and (kern.bx, kern.by) == (8, 8)
+    base = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    _, st_base = base.solve()
+
+    def solve_with(k2):
+        prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+        exact = make_pallas_laplace(
+            prob.spaces[-1], jnp.float32, bx=8, by=8, interpret=True
+        )
+        mxu = make_pallas_laplace(
+            prob.spaces[-1], jnp.float32, bx=8, by=8, interpret=True,
+            core="mxu",
+        )
+        lv = list(prob.levels)
+        l = lv[-1]
+        sm = FusedChebyshev(
+            degree=l.smoother.degree, op=exact, op_smooth=mxu, op_cheb2=k2,
+            theta=l.smoother.theta, delta=l.smoother.delta, trimmed_io=True,
+            state_dtype="bf16",
+        )
+        lv[-1] = MGLevel(op=exact, smoother=sm, transfer=l.transfer)
+        wired, fine_trim = wire_trimmed(lv)
+        prob.levels = tuple(wired)
+        prob.fine_trimmed = fine_trim
+        _, st = prob.solve()
+        return st
+
+    st_pair = solve_with(kern)       # rung-2 (8,8) pair kernel
+    st_degraded = solve_with(None)   # all rungs failed: single-step fused
+    for st in (st_pair, st_degraded):
+        assert st.converged
+        assert st.iterations == st_base.iterations
+        assert st.solution_l2_norm == pytest.approx(
+            st_base.solution_l2_norm, rel=1e-7
+        )
