@@ -149,7 +149,8 @@ def main():
 
             op = make_laplace_auto(sp, dtype, precision=precision, core=core)
             if (core == "banded" and resid_block
-                    and isinstance(op, PallasLaplaceOperator)):
+                    and isinstance(op, PallasLaplaceOperator)
+                    and op.core == "banded"):
                 rb = int(resid_block)
                 if pallas_eligible(sp, rb, rb):
                     op = make_pallas_laplace(

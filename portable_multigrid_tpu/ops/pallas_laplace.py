@@ -1071,6 +1071,102 @@ def make_pallas_slab2d(
 # bf16 mxu core compiles at p=6, so only the exact/banded role is affected.
 _BANDED_CRASH_DEGREES = frozenset({6})
 
+# process-level memo of AOT compile-probe outcomes (see cheb2's twin in
+# ops/pallas_cheb2.py): repeated level builds must not re-pay the probe
+_LAPLACE_OK_MEMO: dict = {}
+
+# the exact-role operator serves CG applies plus the trimmed pipeline's
+# residual kernels; the fused smoother role runs the recurrence modes
+_EXACT_MODES = ("apply", "residual1t", "residual3t")
+_SMOOTH_MODES = ("cheb", "chebl")
+
+
+def laplace_compile_ok(op: "PallasLaplaceOperator",
+                       modes: tuple = _EXACT_MODES,
+                       sdtype: str = "bf16") -> bool:
+    """AOT-compile the operator's kernel modes on the current backend;
+    False when the Mosaic compile crashes (empirical envelope, CLAUDE.md
+    round-3 rules).  All modes compile in ONE jitted program (one
+    remote-compile round trip); nothing executes."""
+    key = (op.n, op.degree, op.bx, op.by, op.core, op.zpad, op.xmask,
+           op.ymask, sdtype, tuple(modes))
+    if key not in _LAPLACE_OK_MEMO:
+        _LAPLACE_OK_MEMO[key] = _laplace_compile_probe(op, modes, sdtype)
+    return _LAPLACE_OK_MEMO[key]
+
+
+def _laplace_compile_probe(op, modes, sdtype) -> bool:
+    if op.interpret:
+        return True
+    p = op.degree
+    n0, n1, n2 = op.n
+    tshape = (n0 * p, n1 * p, n2 * p + op.zpad)  # trimmed state
+    f32 = jnp.float32
+    sd = jnp.bfloat16 if sdtype == "bf16" else f32
+    scal2 = np.asarray([1.1, 0.7], np.float32)
+
+    def prog(uf, ut, rt, dsd, rsd, xt):
+        acc = jnp.zeros((), f32)
+        for mode in modes:
+            if mode == "apply":
+                outs = (op.apply(uf),)
+            elif mode == "residual1t":
+                outs = op._run("residual1t", ut, (rt,))
+            elif mode == "residual3t":
+                outs = op._run("residual3t", ut, (rt,), scal2,
+                               sdtype=sdtype)
+            elif mode in ("chebd", "chebdl"):
+                outs = op._run(mode, dsd, (rsd,), scal2, sdtype=sdtype)
+            else:  # "cheb" / "chebl"
+                outs = op._run(mode, dsd, (rsd, xt), scal2, sdtype=sdtype)
+            outs = outs if isinstance(outs, tuple) else (outs,)
+            acc = acc + sum(o.ravel()[0].astype(f32) for o in outs)
+        return acc
+
+    args = (
+        jax.ShapeDtypeStruct(op.grid_shape, f32),
+        jax.ShapeDtypeStruct(tshape, f32),
+        jax.ShapeDtypeStruct(tshape, f32),
+        jax.ShapeDtypeStruct(tshape, sd),
+        jax.ShapeDtypeStruct(tshape, sd),
+        jax.ShapeDtypeStruct(tshape, f32),
+    )
+    try:
+        jax.jit(prog).lower(*args).compile()
+        return True
+    except Exception as e:  # noqa: BLE001 — Mosaic crashes surface here
+        import sys
+
+        print(
+            f"pallas compile probe failed: core={op.core} block="
+            f"{op.bx}x{op.by} n={op.n} p={p} zpad={op.zpad} modes={modes}: "
+            f"{type(e).__name__}; degrading", file=sys.stderr,
+        )
+        return False
+
+
+def _exact_rescue(space: FESpace, dtype, precision: str):
+    """Exact-role operator for banded-crash-listed degrees (VERDICT r3
+    item 5 — the Q6 hole): the f32-faithful hi/lo "mxu3" core compiles
+    where the banded core crashes, and it is exact-role-grade (matches the
+    assembled operator to f32 roundoff, tests/test_pallas_smoother.py
+    ::test_mxu3_core_is_f32_faithful; CG-count parity pinned by
+    tests/test_laplace_auto.py).  Every candidate is compile-probed — the
+    p=6 envelope is otherwise unmapped — and None means "fall back to
+    kron" (which also disables the fused smoother gating in models/bench).
+    """
+    if jax.default_backend() == "cpu":
+        return None  # Mosaic probes need a TPU backend
+    lanes = space.mesh.cells_per_axis * space.degree + lane_pad(space)
+    cands = ((16, 16), (8, 8)) if lanes <= 256 else ((16, 8), (8, 8))
+    for bx, by in cands:
+        if not pallas_eligible(space, bx, by):
+            continue
+        op = make_pallas_laplace(space, dtype, bx=bx, by=by, core="mxu3")
+        if laplace_compile_ok(op, modes=_EXACT_MODES):
+            return op
+    return None
+
 
 def make_laplace_auto(
     space: FESpace, dtype=jnp.float32, precision="high", core: str = "banded"
@@ -1092,9 +1188,17 @@ def make_laplace_auto(
     core is fastest at 8x8 (11.7 vs 12.6 at 16x8), so the candidate list is
     core-dependent."""
     if core == "banded" and space.degree in _BANDED_CRASH_DEGREES:
-        # the exact role cannot run the banded kernel at this degree —
-        # fall through to the assembled-Kronecker XLA path (the fused
-        # smoother roles request core="mxu"/"mxu3" and are unaffected)
+        # the exact role cannot run the banded kernel at this degree — try
+        # the compile-probed mxu3 (f32-faithful) rescue, then fall through
+        # to the assembled-Kronecker XLA path.  PMG_NO_MXU3_EXACT=1 forces
+        # the old kron behavior (deployment escape hatch).
+        import os
+
+        if (dtype == jnp.float32
+                and os.environ.get("PMG_NO_MXU3_EXACT", "0") != "1"):
+            op = _exact_rescue(space, dtype, precision)
+            if op is not None:
+                return op
         return make_laplace(space, dtype, variant="kron", precision=precision)
     if dtype == jnp.float32:
         # the Mosaic block-size crash rules key on the KERNEL lane extent,
@@ -1123,7 +1227,16 @@ def make_laplace_auto(
                     + 5 * 2 * (X - 1) * (Y - 1) * Z
                 )
                 if est < 110 * 1024 * 1024:
-                    return make_pallas_laplace(
+                    op = make_pallas_laplace(
                         space, dtype, bx=bx, by=by, core=core
                     )
+                    if (space.degree in _BANDED_CRASH_DEGREES
+                            and jax.default_backend() != "cpu"
+                            and not laplace_compile_ok(
+                                op, modes=_SMOOTH_MODES)):
+                        # crash-listed degrees have an unmapped Mosaic
+                        # envelope: probe the recurrence modes before
+                        # handing the kernel to a fused smoother
+                        continue
+                    return op
     return make_laplace(space, dtype, variant="kron", precision=precision)
