@@ -63,9 +63,14 @@ def _probe_backend(timeout_s: float) -> tuple[bool, str]:
 
 def acquire_backend() -> tuple[bool, str]:
     """Retry the backend probe with backoff until it succeeds or the wait
-    budget (PMG_BENCH_BACKEND_WAIT, default 600 s) is exhausted."""
-    budget = float(os.environ.get("PMG_BENCH_BACKEND_WAIT", "600"))
-    per_probe = float(os.environ.get("PMG_BENCH_BACKEND_PROBE_TIMEOUT", "120"))
+    budget (PMG_BENCH_BACKEND_WAIT, default 900 s) is exhausted.
+
+    The per-probe timeout default is 300 s: a healthy-but-cold tunnel
+    handshake was measured at 77 s, so the old 120 s cap timed out whole
+    runs that would have succeeded (round-4 r=6 capture lost to five
+    consecutive 120 s probe timeouts)."""
+    budget = float(os.environ.get("PMG_BENCH_BACKEND_WAIT", "900"))
+    per_probe = float(os.environ.get("PMG_BENCH_BACKEND_PROBE_TIMEOUT", "300"))
     t0 = time.time()
     attempt = 0
     delay = 10.0

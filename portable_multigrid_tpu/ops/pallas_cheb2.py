@@ -208,18 +208,34 @@ class Cheb2Kernel:
                 (None pred = unconditional).  Static sizes per case — Mosaic
                 DMA extents must be compile-time constants.  ``ext``: the
                 input already carries the halo (sharded x axis) — every
-                window is interior."""
+                window is interior.  Starts are emitted as explicit
+                8 * (...) products where divisible: the 2026 Mosaic pass
+                requires sublane (dim-1) slice starts to be PROVABLY
+                8-divisible, and "ii*blk - halo" only proves as a syntactic
+                product (cf. ops/pallas_transfer.py)."""
+                prov8 = blk % 8 == 0 and halo % 8 == 0
+
+                def s_interior(v):  # v*blk - halo
+                    if prov8:
+                        return (v * (blk // 8) - (halo // 8)) * 8
+                    return v * blk - halo
+
+                def s_plain(v):  # v*blk
+                    if blk % 8 == 0:
+                        return (v * (blk // 8)) * 8
+                    return v * blk
+
                 if ext:
-                    return [(None, ii * blk, W, 0)]
+                    return [(None, s_plain(ii), W, 0)]
                 if nb == 1:
                     return [(None, 0, min(blk, Nt), halo)]
                 cases = [(ii == 0, 0, blk + halo, halo)]
                 if nb > 2:
                     cases.append((
                         jnp.logical_and(ii > 0, ii < nb - 1),
-                        ii * blk - halo, W, 0,
+                        s_interior(ii), W, 0,
                     ))
-                cases.append((ii == nb - 1, ii * blk - halo, blk + halo, 0))
+                cases.append((ii == nb - 1, s_interior(ii), blk + halo, 0))
                 return cases
 
             def fetch(slot, ii, jj, slab, hbm, hx, hy, W0, W1, sem, start):

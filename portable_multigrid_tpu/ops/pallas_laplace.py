@@ -888,12 +888,22 @@ def make_resid3_twin(space: FESpace, op, dtype=jnp.float32):
 
 
 def slab_pallas_eligible(
-    space: FESpace, n_loc: int, bx: int = 8, by: int = 8
+    space: FESpace, n_loc: int, bx: int = 8, by: int = 8,
+    zpad: int | None = None,
 ) -> bool:
+    """``zpad=None`` uses the :func:`lane_pad` policy (lane-exact grids plus
+    128-multiple padding); an explicit value admits any grid whose padded
+    lane extent n*p + zpad is a 128-multiple >= 128 — the z axis is NOT the
+    sharded axis, so lane padding composes with slab sharding unchanged."""
     n, p = space.mesh.cells_per_axis, space.degree
+    if zpad is None:
+        lanes_ok = n * p >= 128
+    else:
+        Z = n * p + zpad
+        lanes_ok = Z >= 128 and Z % 128 == 0 and (zpad == 0 or zpad >= p)
     return (
         space.dim == 3
-        and (n * p) % 128 == 0
+        and lanes_ok
         and n_loc % bx == 0
         and n % by == 0
         and (bx * p) % 8 == 0
@@ -909,6 +919,7 @@ def make_pallas_slab(
     by: int = 8,
     core: str = "banded",
     interpret: bool = False,
+    zpad: int | None = None,
 ) -> PallasLaplaceOperator:
     """Slab operator for shard_map: n_loc cells along sharded axis 0, full
     y/z extents.  x-masking runs in "vector" mode so interior shard
@@ -919,11 +930,13 @@ def make_pallas_slab(
     The kernel itself is partition-agnostic, mirroring the reference's one
     hot kernel for serial and MPI runs (reference:
     include/operators/portable_laplace_operator.h:557-719)."""
-    if not (interpret or slab_pallas_eligible(space, n_loc, bx, by)):
+    if not (interpret or slab_pallas_eligible(space, n_loc, bx, by, zpad)):
         raise ValueError("slab not eligible for the pallas kernel")
     p = space.degree
     n = space.mesh.cells_per_axis
-    X, Y, Z = bx * p + 1, by * p + 1, n * p
+    if zpad is None:
+        zpad = lane_pad(space)
+    X, Y, Z = bx * p + 1, by * p + 1, n * p + zpad
     nb = 2 * p + 1
     K1, M1 = assembled_1d_matrices(space)
     m1 = space.free_mask_1d()
@@ -971,6 +984,7 @@ def make_pallas_slab(
         interpret=interpret,
         core=core,
         xmask="vector",
+        zpad=zpad,
         bands=tuple(jnp.asarray(v, dtype) for v in bands)
         if core == "banded" else None,
         dense_mats=dense_mats,
@@ -989,6 +1003,7 @@ def make_pallas_slab2d(
     by: int = 8,
     core: str = "banded",
     interpret: bool = False,
+    zpad: int | None = None,
 ) -> PallasLaplaceOperator:
     """Pencil slab operator for 2D device meshes: n_loc_x x n_loc_y cells,
     full z.  BOTH x and y masking run in "vector" mode (per-shard mask
@@ -996,12 +1011,17 @@ def make_pallas_slab2d(
     PARTIAL local assemblies, so the kernel emits raw partial boundary
     planes on both sharded axes for the 2D halo exchange
     (parallel/mesh2d.py:ShardedPallas2DLaplace).  The caller replaces
-    mask1/dK1/dM1 axis-0 AND axis-1 entries with per-shard slices."""
+    mask1/dK1/dM1 axis-0 AND axis-1 entries with per-shard slices.
+    ``zpad`` lane-pads the (unsharded) z axis exactly as in
+    :func:`make_pallas_slab`."""
     p = space.degree
     n = space.mesh.cells_per_axis
+    if zpad is None:
+        zpad = lane_pad(space)
+    Zk = n * p + zpad
     eligible = (
         space.dim == 3
-        and (n * p) % 128 == 0
+        and Zk >= 128 and Zk % 128 == 0 and (zpad == 0 or zpad >= p)
         and n_loc_x % bx == 0
         and n_loc_y % by == 0
         and (bx * p) % 8 == 0
@@ -1009,7 +1029,7 @@ def make_pallas_slab2d(
     )
     if not (interpret or eligible):
         raise ValueError("pencil slab not eligible for the pallas kernel")
-    X, Y, Z = bx * p + 1, by * p + 1, n * p
+    X, Y, Z = bx * p + 1, by * p + 1, Zk
     nb = 2 * p + 1
     K1, M1 = assembled_1d_matrices(space)
     m1 = space.free_mask_1d()
@@ -1056,6 +1076,7 @@ def make_pallas_slab2d(
         core=core,
         xmask="vector",
         ymask="vector",
+        zpad=zpad,
         bands=tuple(jnp.asarray(v, dtype) for v in bands)
         if core == "banded" else None,
         dense_mats=dense_mats,

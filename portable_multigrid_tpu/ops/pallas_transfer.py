@@ -184,18 +184,34 @@ class PallasTransfer:
         if pad_fallback:
             src = jnp.pad(src, ((PAD, PAD), (PAD, PAD), (0, 0)))
 
+        # The 2026 Mosaic pass requires sublane (dim-1) slice starts to be
+        # PROVABLY 8-divisible: "i*stride - PAD" is divisible in value but
+        # the prover only accepts a syntactic product, so emit starts as
+        # 8 * (...) when stride is an 8-multiple (PAD == 8 always is).
+        prov8 = stride % 8 == 0
+
+        def s_interior(ii):  # ii*stride - PAD, provably 8-divisible
+            if prov8:
+                return (ii * (stride // 8) - (PAD // 8)) * 8
+            return ii * stride - PAD
+
+        def s_plain(ii):  # ii*stride
+            if prov8:
+                return (ii * (stride // 8)) * 8
+            return ii * stride
+
         def axis_cases(ii, nb, Nt):
             if pad_fallback:
-                return [(None, ii * stride, win_w, 0)]
+                return [(None, s_plain(ii), win_w, 0)]
             if nb == 1:
                 return [(None, 0, min(stride, Nt), PAD)]
             cases = [(ii == 0, 0, stride + PAD, PAD)]
             if nb > 2:
                 cases.append((
                     jnp.logical_and(ii > 0, ii < nb - 1),
-                    ii * stride - PAD, win_w, 0,
+                    s_interior(ii), win_w, 0,
                 ))
-            cases.append((ii == nb - 1, ii * stride - PAD, stride + PAD, 0))
+            cases.append((ii == nb - 1, s_interior(ii), stride + PAD, 0))
             return cases
 
         def kernel(src_hbm, mxh_r, mxl_r, myh_r, myl_r,
@@ -338,18 +354,67 @@ class PallasTransfer:
         return self._run("prolongate", c, add=dst)
 
 
+# process-level memo of AOT compile-probe outcomes (the make_cheb2_auto /
+# laplace_compile_ok twin): a Mosaic crash in the transfer kernel must
+# degrade to the XLA transfer instead of killing the program — the r=6
+# bench lost its round-4 first capture to exactly this (the 2026 compile
+# helper's divisibility prover rejected the window starts)
+_TRANSFER_OK_MEMO: dict = {}
+
+
+def transfer_compile_ok(tr: "PallasTransfer") -> bool:
+    key = (tr.shape_f, tr.shape_c, tr.bf, tr.bc, tr.win_r, tr.win_p,
+           tr.coarse_trimmed)
+    if key not in _TRANSFER_OK_MEMO:
+        _TRANSFER_OK_MEMO[key] = _transfer_compile_probe(tr)
+    return _TRANSFER_OK_MEMO[key]
+
+
+def _transfer_compile_probe(tr: "PallasTransfer") -> bool:
+    if tr.interpret:
+        return True
+    import sys
+
+    f32 = jnp.float32
+    sc = tr.shape_c if tr.coarse_trimmed else tuple(
+        s + 1 for s in tr.shape_c)
+
+    def prog(f, d, c):
+        r = tr.restrict(f)
+        pa = tr.prolongate_and_add(d, c)
+        return r.ravel()[0] + pa.ravel()[0]
+
+    args = (jax.ShapeDtypeStruct(tr.shape_f, f32),
+            jax.ShapeDtypeStruct(tr.shape_f, f32),
+            jax.ShapeDtypeStruct(sc, f32))
+    try:
+        jax.jit(prog).lower(*args).compile()
+        return True
+    except Exception as e:  # noqa: BLE001 — Mosaic crashes surface here
+        print(
+            f"pallas transfer compile probe failed for {tr.shape_f}->"
+            f"{tr.shape_c}: {type(e).__name__}: "
+            f"{str(e).splitlines()[0][:200] if str(e) else ''}; degrading "
+            "to the XLA transfer", file=sys.stderr,
+        )
+        return False
+
+
 def make_h_transfer_auto(coarse: FESpace, fine: FESpace, dtype,
                          fine_trimmed: bool, coarse_trimmed: bool):
     """Fused pallas h-transfer when the fine level runs the trimmed pallas
-    pipeline and the pair is eligible; the XLA Transfer otherwise (callers
-    wrap the XLA fallback via solvers.vcycle.wire_trimmed)."""
+    pipeline, the pair is eligible AND its kernels compile on the current
+    backend (AOT probe, memoized); the XLA Transfer otherwise (callers wrap
+    the XLA fallback via solvers.vcycle.wire_trimmed)."""
     from .transfer import make_h_transfer
 
     if (fine_trimmed and dtype == jnp.float32
             and pallas_h_transfer_eligible(coarse, fine)):
-        return make_pallas_h_transfer(
+        tr = make_pallas_h_transfer(
             coarse, fine, dtype, coarse_trimmed=coarse_trimmed
         )
+        if transfer_compile_ok(tr):
+            return tr
     return make_h_transfer(coarse, fine, dtype)
 
 

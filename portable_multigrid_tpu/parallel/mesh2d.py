@@ -166,8 +166,12 @@ class ShardedPallas2DLaplace:
         Z = loc.n[2] * p
         # vector-y kernels always fetch the 8-row y tail (the duplicated
         # plane is interior data): pad the input so the aligned read of the
-        # last block stays in bounds
-        raw = loc._run("apply", jnp.pad(u, ((0, 0), (0, 7), (0, 0))))
+        # last block stays in bounds; lane-padded kernels additionally
+        # extend z to the inert Z + zpad lanes (single-chip mechanism)
+        pz = (0, loc.zpad - 1) if loc.zpad else (0, 0)
+        raw = loc._run("apply", jnp.pad(u, ((0, 0), (0, 7), pz)))
+        if loc.zpad:
+            raw = raw[:, :, :Z]
 
         um = (u * loc.mask1[0].reshape(-1, 1, 1)
               * loc.mask1[1].reshape(1, -1, 1)
@@ -211,13 +215,17 @@ class ShardedPallas2DLaplace:
 
 def _build_stacked_pallas2d(
     space: FESpace, sx: int, sy: int, dtype, core: str = "banded",
-    interpret: bool = False,
+    interpret: bool = False, zpad: int | None = None,
 ):
-    """Stacked ShardedPallas2DLaplace for a level, or None if ineligible."""
+    """Stacked ShardedPallas2DLaplace for a level, or None if ineligible.
+
+    ``zpad=None`` follows the lane_pad policy (lane-padded grids ride the
+    same pencil kernels — z is not a sharded axis); an explicit value is
+    for interpret-mode tests on tiny grids."""
     import dataclasses as _dc
 
     from ..ops.laplace import diagonal_1d_factors
-    from ..ops.pallas_laplace import make_pallas_slab2d
+    from ..ops.pallas_laplace import lane_pad, make_pallas_slab2d
     from .poisson import _partial_assembled_1d
     from .sharding import partition_axis0
 
@@ -227,10 +235,12 @@ def _build_stacked_pallas2d(
     if n % sx or n % sy:
         return None
     nlx, nly = n // sx, n // sy
+    zp = lane_pad(space) if zpad is None else zpad
+    Zk = n * p + zp
 
     def pick(cells):
         for b in (16, 8, 4, 2, 1):
-            if b == 16 and n * p > 256:
+            if b == 16 and Zk > 256:
                 continue
             if cells % b == 0 and (b * p) % 8 == 0:
                 return b
@@ -239,10 +249,11 @@ def _build_stacked_pallas2d(
     bx, by = pick(nlx), pick(nly)
     if bx is None or by is None:
         return None
-    if not interpret and ((n * p) % 128 != 0):
+    if not interpret and (Zk < 128 or Zk % 128 != 0):
         return None
     base = make_pallas_slab2d(
-        space, nlx, nly, dtype, bx=bx, by=by, core=core, interpret=interpret
+        space, nlx, nly, dtype, bx=bx, by=by, core=core, interpret=interpret,
+        zpad=zp,
     )
     m1 = space.free_mask_1d()
     gK, gM = diagonal_1d_factors(space)
@@ -336,6 +347,7 @@ def _ext_axis(t: jnp.ndarray, h: int, axis: int, axis_name: str,
 def _build_stacked_cheb2_2d(
     space: FESpace, sx: int, sy: int, dtype, interpret: bool = False,
     bx: int | None = None, by: int | None = None, exact: bool = False,
+    zpad: int | None = None,
 ):
     """Stacked xext+yext Cheb2Kernel for the 2D-pencil pair smoother, or
     None if ineligible.  The per-block x (y) matrix/factor stacks of the
@@ -354,16 +366,18 @@ def _build_stacked_cheb2_2d(
     if n % sx or n % sy:
         return None
     nlx, nly = n // sx, n // sy
-    if not interpret and (n * p < 128 or lane_pad(space) != 0):
-        return None  # no lane-padded sharded pair kernel yet
+    zp = lane_pad(space) if zpad is None else zpad
+    Zk = n * p + zp  # kernel lane extent (zpad lanes are inert zeros)
+    if not interpret and (Zk < 128 or Zk % 128 != 0):
+        return None
     Hd = _roundup8(2 * p)
 
     def pickb(cells, req):
         for b in (16, 8, 4, 2):
-            if b == 16 and n * p > 256:
+            if b == 16 and Zk > 256:
                 continue
             if (cells % b == 0 and (b * p) % 8 == 0 and b * p >= req
-                    and cheb2_vmem_ok(b, b, p, n * p)):
+                    and cheb2_vmem_ok(b, b, p, Zk)):
                 return b
         return None
 
@@ -371,9 +385,9 @@ def _build_stacked_cheb2_2d(
     by = by if by is not None else pickb(nly, Hd)
     if bx is None or by is None:
         return None
-    if not (interpret or cheb2_vmem_ok(bx, by, p, n * p)):
+    if not (interpret or cheb2_vmem_ok(bx, by, p, Zk)):
         return None
-    kern = make_cheb2(space, dtype, bx=bx, by=by, zpad=0,
+    kern = make_cheb2(space, dtype, bx=bx, by=by, zpad=zp,
                       interpret=interpret, exact=exact)
     nbi_loc, nbj_loc = nlx // bx, nly // by
     if nbi_loc == 0 or nlx % bx or nbj_loc == 0 or nly % by:
@@ -424,9 +438,11 @@ class ShardedFused2DChebyshev:
     transitively) and every in-window output row is exact — no boundary
     corrections.  The entry residual half-step runs on the EXACT sharded
     banded operator (the production invariant: residuals stay f32-exact on
-    the banded core).  Requires an even recurrence step count
-    (degree - 1; the production smoother degree is 5).  Reference parity:
-    one hot kernel serial and MPI
+    the banded core).  ODD recurrence step counts run the tail step as a
+    ZERO-COEFFICIENT pair (scal[2] = scal[3] = 0 makes step 2 the identity:
+    d2 = 0, x2 = x1 — exact, at the cost of one wasted A·d apply on a
+    single level), so any degree >= 2 rides the fused path.  Reference
+    parity: one hot kernel serial and MPI
     (include/operators/portable_laplace_operator.h:557-719).
 
     Public surface is full-slab IO (smooth / apply), so the sharded
@@ -443,23 +459,39 @@ class ShardedFused2DChebyshev:
 
     @property
     def _dims(self):
+        """(grid_shape, Lx, Ly, Zr): Zr is the REAL trimmed lane extent;
+        lane-padded kernels carry state with Zr + zpad inert zero lanes."""
         loc = self.op.local
         g = loc.grid_shape
         return g, g[0] - 1, g[1] - 1, loc.n[2] * loc.degree
 
+    @property
+    def _zp(self):
+        return getattr(self.op.local, "zpad", 0)
+
     def _trim(self, t):
         g, Lx, Ly, Z = self._dims
-        return t.reshape(g)[:Lx, :Ly, :Z]
+        t = t.reshape(g)[:Lx, :Ly, :Z]
+        if self._zp:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, self._zp)))
+        return t
 
     def _diag_trimmed(self):
         loc = self.op.local
         _, Lx, Ly, Z = self._dims
+
+        def zext(v):  # pad lanes hold 1.0 (state is zero there; 0/1 == 0)
+            v = v[:Z]
+            if self._zp:
+                v = jnp.pad(v, (0, self._zp), constant_values=1.0)
+            return v
+
         xK = loc.dK1[0][:Lx].reshape(-1, 1, 1)
         xM = loc.dM1[0][:Lx].reshape(-1, 1, 1)
         yK = loc.dK1[1][:Ly].reshape(1, -1, 1)
         yM = loc.dM1[1][:Ly].reshape(1, -1, 1)
-        zK = loc.dK1[2][:Z].reshape(1, 1, -1)
-        zM = loc.dM1[2][:Z].reshape(1, 1, -1)
+        zK = zext(loc.dK1[2]).reshape(1, 1, -1)
+        zM = zext(loc.dM1[2]).reshape(1, 1, -1)
         return xK * yM * zM + xM * (yK * zM + yM * zK)
 
     def _ext2(self, t, hx, hy):
@@ -483,6 +515,8 @@ class ShardedFused2DChebyshev:
             bwd = [(i + 1, i) for i in range(self.sx - 1)]
             px = jax.lax.ppermute(x[:1], AX, bwd)
         x = jnp.concatenate([x, px], axis=0)
+        if self._zp:
+            x = x[:, :, : self._dims[3]]
         return jnp.pad(x, ((0, 0), (0, 0), (0, 1)))
 
     def _steps(self, r, d, x):
@@ -497,6 +531,19 @@ class ShardedFused2DChebyshev:
         k = 0
         while k < n:
             rho1 = 1.0 / (2.0 * sigma1 - rho)
+            if k + 1 == n:
+                # odd tail: ONE step as a zero-coefficient pair — step 2
+                # collapses to the identity (d2 = 0·d1 + 0·r2/diag = 0,
+                # x2 = x1), so "cheb2l" returns exactly the single-step x'
+                zero = jnp.zeros_like(self.delta)
+                scal = jnp.stack([
+                    rho1 * rho, 2.0 * rho1 / self.delta, zero, zero,
+                ]).astype(jnp.float32)
+                outs = self.op_cheb2.steps2(
+                    self._ext2(d, 2 * p, Hd), self._ext2(r, p, Hr), x,
+                    scal, "cheb2l", sdtype="f32",
+                )
+                return outs[0]
             rho2 = 1.0 / (2.0 * sigma1 - rho1)
             scal = jnp.stack([
                 rho1 * rho, 2.0 * rho1 / self.delta,
@@ -596,10 +643,14 @@ class Sharded2DGeometricPoisson:
         dtype=jnp.float64,
         variant: str = "kron",
         pallas_interpret: bool = False,
+        pallas_zpad: int | None = None,
     ):
         if dim < 2:
             raise ValueError("2D pencil sharding needs dim >= 2")
         self.pallas_interpret = pallas_interpret
+        # explicit lane padding for the FINEST level (coarser levels follow
+        # the lane_pad policy) — interpret-mode tests use this
+        self.pallas_zpad = pallas_zpad
         sx, sy = mesh_shape
         if devices is None:
             devices = jax.devices()
@@ -700,8 +751,11 @@ class Sharded2DGeometricPoisson:
             return MGLevel(op=_tile_tree2(op_plain, sx, sy),
                            smoother=smoother, transfer=None)
         if variant == "pallas":
+            zp = self.pallas_zpad if (
+                getattr(self, "pallas_zpad", None) is not None
+                and sp is self.spaces[-1]) else None
             op2d = _build_stacked_pallas2d(
-                sp, sx, sy, dtype, interpret=self.pallas_interpret
+                sp, sx, sy, dtype, interpret=self.pallas_interpret, zpad=zp
             )
             if op2d is not None:
                 twin = make_laplace(sp, dtype, variant="kron")
@@ -715,13 +769,15 @@ class Sharded2DGeometricPoisson:
                     mn, mx, rng, None if coarse else 5
                 )
                 smoother = None
-                if (not coarse and deg is not None and deg >= 3
-                        and (deg - 1) % 2 == 0
+                if (not coarse and deg is not None and deg >= 2
                         and os.environ.get("PMG_CHEB2", "1") == "1"):
-                    # production fast path on the 2D pencil mesh: all
-                    # recurrence steps run as xext+yext cheb2 pairs
+                    # production fast path on the 2D pencil mesh: the
+                    # recurrence runs as xext+yext cheb2 pairs; an odd
+                    # step count runs its tail as a zero-coefficient pair
+                    # (see ShardedFused2DChebyshev._steps)
                     cheb2_2d = _build_stacked_cheb2_2d(
-                        sp, sx, sy, dtype, interpret=self.pallas_interpret
+                        sp, sx, sy, dtype, interpret=self.pallas_interpret,
+                        zpad=zp,
                     )
                     if cheb2_2d is not None:
                         smoother = ShardedFused2DChebyshev(

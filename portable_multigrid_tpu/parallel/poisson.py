@@ -185,15 +185,22 @@ def _build_stacked_p_transfer(
 
 def _build_stacked_pallas(
     space: FESpace, S: int, dtype, core: str = "banded",
-    interpret: bool = False,
+    interpret: bool = False, zpad: int | None = None,
 ):
     """Stacked ShardedPallasLaplace for a level, or None if ineligible.
 
     The slab kernel is shard-independent except for the axis-0 mask/diag
-    factors, which are partitioned slices of the global 1D vectors."""
+    factors, which are partitioned slices of the global 1D vectors.
+    ``zpad=None`` follows the lane_pad policy (lane-padded Q5/Q7-style
+    grids ride the same slab kernels — the z axis is not the sharded
+    axis); an explicit value is for interpret-mode tests on tiny grids."""
     import dataclasses as _dc
 
-    from ..ops.pallas_laplace import make_pallas_slab, slab_pallas_eligible
+    from ..ops.pallas_laplace import (
+        lane_pad,
+        make_pallas_slab,
+        slab_pallas_eligible,
+    )
     from .sharding import ShardedPallasLaplace
 
     if dtype != jnp.float32:
@@ -202,13 +209,15 @@ def _build_stacked_pallas(
     if n % S:
         return None
     n_loc = n // S
+    zp = lane_pad(space) if zpad is None else zpad
+    Zk = n * p + zp  # kernel lane extent
 
     def pick(limit, cells):
         for b in (16, 8, 4, 2, 1):
             # 16x16 blocks with >256 lanes crash the Mosaic compiler —
-            # mirror the cap make_laplace_auto applies (lanes Z = n*p is a
+            # mirror the cap make_laplace_auto applies (lanes Z is a
             # GLOBAL extent, identical for the slab kernel)
-            if b == 16 and n * p > 256:
+            if b == 16 and Zk > 256:
                 continue
             if b <= limit and cells % b == 0 and (b * p) % 8 == 0:
                 return b
@@ -218,10 +227,11 @@ def _build_stacked_pallas(
     by = pick(16, n)
     if bx is None or by is None:
         return None
-    if not (interpret or slab_pallas_eligible(space, n_loc, bx, by)):
+    if not (interpret or slab_pallas_eligible(space, n_loc, bx, by, zpad)):
         return None
     base = make_pallas_slab(
-        space, n_loc, dtype, bx=bx, by=by, core=core, interpret=interpret
+        space, n_loc, dtype, bx=bx, by=by, core=core, interpret=interpret,
+        zpad=zp,
     )
     m1 = space.free_mask_1d()
     gK, gM = diagonal_1d_factors(space)
@@ -254,6 +264,7 @@ def _build_stacked_pallas(
 def _build_stacked_cheb2(
     space: FESpace, S: int, dtype, interpret: bool = False,
     bx: int | None = None, by: int | None = None, exact: bool = False,
+    zpad: int | None = None,
 ):
     """Stacked xext-mode Cheb2Kernel for the sharded pair smoother, or None.
 
@@ -277,16 +288,18 @@ def _build_stacked_cheb2(
     if n % S:
         return None
     n_loc = n // S
-    if not interpret and (n * p < 128 or lane_pad(space) != 0):
-        return None  # no lane-padded sharded pair kernel yet
+    zp = lane_pad(space) if zpad is None else zpad
+    Zk = n * p + zp  # kernel lane extent (zpad lanes are inert zeros)
+    if not interpret and (Zk < 128 or Zk % 128 != 0):
+        return None
     Hd = _roundup8(2 * p)
 
     def pickb(cells, req):
         for b in (16, 8, 4, 2):
-            if b == 16 and n * p > 256:
+            if b == 16 and Zk > 256:
                 continue
             if (cells % b == 0 and (b * p) % 8 == 0 and b * p >= req
-                    and cheb2_vmem_ok(b, b, p, n * p)):
+                    and cheb2_vmem_ok(b, b, p, Zk)):
                 return b
         return None
 
@@ -294,9 +307,9 @@ def _build_stacked_cheb2(
     by = by if by is not None else pickb(n, Hd)
     if bx is None or by is None:
         return None
-    if not (interpret or cheb2_vmem_ok(bx, by, p, n * p)):
+    if not (interpret or cheb2_vmem_ok(bx, by, p, Zk)):
         return None
-    kern = make_cheb2(space, dtype, bx=bx, by=by, zpad=0,
+    kern = make_cheb2(space, dtype, bx=bx, by=by, zpad=zp,
                       interpret=interpret, exact=exact)
     nbi_loc = n_loc // bx
     if nbi_loc == 0 or n_loc % bx:
@@ -362,6 +375,7 @@ class ShardedGeometricPoisson:
         sharded_setup: bool = False,
         replicate_coarse: bool = True,
         pallas_interpret: bool = False,
+        pallas_zpad: int | None = None,
     ):
         if devices is None:
             devices = jax.devices()
@@ -376,6 +390,10 @@ class ShardedGeometricPoisson:
         self.variant = variant
         self.sharded_setup = sharded_setup
         self.pallas_interpret = pallas_interpret
+        # explicit zpad applies to the FINEST level only (coarser levels
+        # have different lane extents; their zpad follows the lane_pad
+        # policy) — interpret-mode tests exercise lane padding this way
+        self.pallas_zpad = pallas_zpad
 
         min_ref = max(int(math.ceil(math.log2(max(S, 1)))), 0)
         if refinements < min_ref:
@@ -428,9 +446,14 @@ class ShardedGeometricPoisson:
                 fused_stacked = None
                 cheb2_stacked = None
                 if variant == "pallas":
+                    finest = i == len(self.spaces) - 1
+                    zp = self.pallas_zpad if (
+                        finest and getattr(self, "pallas_zpad", None)
+                        is not None) else None
                     op_stacked = _build_stacked_pallas(
                         sp, S, dtype,
                         interpret=getattr(self, "pallas_interpret", False),
+                        zpad=zp,
                     )
                     if op_stacked is not None and i > 0:
                         # bf16 MXU twin driving the fused Chebyshev
@@ -439,6 +462,7 @@ class ShardedGeometricPoisson:
                         fused_stacked = _build_stacked_pallas(
                             sp, S, dtype, core="mxu",
                             interpret=getattr(self, "pallas_interpret", False),
+                            zpad=zp,
                         )
                         if fused_stacked is not None and os.environ.get(
                                 "PMG_CHEB2", "1") == "1":
@@ -446,6 +470,7 @@ class ShardedGeometricPoisson:
                                 sp, S, dtype,
                                 interpret=getattr(
                                     self, "pallas_interpret", False),
+                                zpad=zp,
                             )
                 if op_stacked is None:
                     op_stacked = _build_stacked_operator(

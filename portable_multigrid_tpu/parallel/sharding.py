@@ -202,7 +202,15 @@ class ShardedPallasLaplace:
         loc = self.local
         p = loc.degree
         u = u.reshape(loc.grid_shape)
-        raw = loc._run("apply", u)  # [N0-1, N1-1, Z] raw partial (x) tiles
+        uk = u
+        if loc.zpad:
+            # lane-padded kernel: extend the full grid's n2*p + 1 z planes
+            # to the kernel's Z = n2*p + zpad inert zero lanes (the z axis
+            # is orthogonal to the sharded x axis — single-chip mechanism)
+            uk = jnp.pad(u, ((0, 0), (0, 0), (0, loc.zpad - 1)))
+        raw = loc._run("apply", uk)  # [N0-1, N1-1, Z] raw partial (x) tiles
+        if loc.zpad:
+            raw = raw[:, :, : loc.n[2] * p]
 
         # thin completion of the slab's last x-plane (raw partial row)
         win = u[-(p + 1):] * loc.mask1[0][-(p + 1):].reshape(-1, 1, 1)
@@ -274,10 +282,18 @@ class ShardedFusedChebyshev:
     # --- representation helpers ------------------------------------------
     @property
     def _dims(self):
+        """(grid_shape, L, N1m, Zr): Zr is the REAL trimmed lane extent
+        n2*p; lane-padded kernels (zpad > 0) carry state with Zr + zpad
+        inert zero lanes (see _zp) — the z axis is orthogonal to the
+        sharded x axis, so padding composes with slab sharding."""
         loc = self.op.local
         p = loc.degree
         g = loc.grid_shape
         return g, g[0] - 1, g[1] - 1, loc.n[2] * p
+
+    @property
+    def _zp(self):
+        return getattr(self.op.local, "zpad", 0)
 
     def _ext_from_right(self, t):
         """Append plane L = right neighbour's plane 0 (zeros at the last
@@ -303,7 +319,7 @@ class ShardedFusedChebyshev:
         loc = sp_op.local
         p = loc.degree
         _, L, N1m, Z = self._dims
-        win = u_ext[-(p + 1):] * loc.mask1[0][-(p + 1):].reshape(-1, 1, 1)
+        win = u_ext[-(p + 1):, :, :Z] * loc.mask1[0][-(p + 1):].reshape(-1, 1, 1)
         win = win * loc.mask1[1][:N1m].reshape(1, -1, 1)
         win = win * loc.mask1[2][:Z].reshape(1, 1, -1)
         hi = jax.lax.Precision.HIGHEST
@@ -323,19 +339,29 @@ class ShardedFusedChebyshev:
         kb = ctr(b, K1m, 1)
         ma = ctr(a, M1m, 1)
         last = jnp.tensordot(sp_op.thin_kx, mb, axes=(0, 0), precision=hi)
-        return last + jnp.tensordot(
+        last = last + jnp.tensordot(
             sp_op.thin_mx, kb + ma, axes=(0, 0), precision=hi
         )
+        if self._zp:
+            last = jnp.pad(last, ((0, 0), (0, self._zp)))
+        return last
 
     def _diag_trimmed(self):
         loc = self.op.local
         _, L, N1m, Z = self._dims
+
+        def zext(v):  # pad lanes hold 1.0 (state is zero there; 0/1 == 0)
+            v = v[:Z]
+            if self._zp:
+                v = jnp.pad(v, (0, self._zp), constant_values=1.0)
+            return v
+
         xK = loc.dK1[0][:L].reshape(-1, 1, 1)
         xM = loc.dM1[0][:L].reshape(-1, 1, 1)
         yK = loc.dK1[1][:N1m].reshape(1, -1, 1)
         yM = loc.dM1[1][:N1m].reshape(1, -1, 1)
-        zK = loc.dK1[2][:Z].reshape(1, 1, -1)
-        zM = loc.dM1[2][:Z].reshape(1, 1, -1)
+        zK = zext(loc.dK1[2]).reshape(1, 1, -1)
+        zM = zext(loc.dM1[2]).reshape(1, 1, -1)
         return xK * yM * zM + xM * (yK * zM + yM * zK)
 
     def _inv_diag_row0(self):
@@ -343,15 +369,23 @@ class ShardedFusedChebyshev:
 
     def _trim(self, t):
         g, L, N1m, Z = self._dims
-        return t.reshape(g)[:L, :N1m, :Z]
+        t = t.reshape(g)[:L, :N1m, :Z]
+        if self._zp:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, self._zp)))
+        return t
 
     def _ext_x(self, t):
         g, L, N1m, Z = self._dims
-        return t.reshape(g)[:, :N1m, :Z]
+        t = t.reshape(g)[:, :N1m, :Z]
+        if self._zp:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, self._zp)))
+        return t
 
     def _to_full(self, x):
         """Trimmed per-shard state -> full consistent slab (duplicated
         plane restored by one ppermute, Dirichlet planes re-padded)."""
+        if self._zp:
+            x = x[:, :, : self._dims[3]]
         return jnp.pad(self._ext_from_right(x), ((0, 0), (0, 1), (0, 1)))
 
     def _ext_both(self, t, h):

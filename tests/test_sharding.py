@@ -622,3 +622,226 @@ def test_2d_pencil_cheb2_pairs_match_single_chip():
                 st[0, j][:, -1], st[0, j + 1][:, 0],
                 atol=1e-6 * np.abs(want).max(),
             )
+
+
+def test_sharded_zpad_solve_matches_single_device():
+    """Lane-padded (zpad) grids ride the FULL sharded fast path (VERDICT r3
+    item 7): the finest level builds the slab pallas operators AND the cheb2
+    pair kernel with inert zero lane padding (the z axis is orthogonal to
+    the sharded x axis), and the solve matches the single-device iteration
+    count exactly.  Q5/Q7-style grids (n*p not a 128-multiple) shard their
+    fast path through this mechanism on hardware; interpret mode exercises
+    the padded windows on a tiny grid via an explicit zpad."""
+    from portable_multigrid_tpu.parallel.sharding import (
+        ShardedFusedChebyshev,
+        ShardedPallasLaplace,
+    )
+
+    sharded = ShardedGeometricPoisson(
+        3, 4, 3, devices=jax.devices()[:4], dtype=jnp.float32,
+        variant="pallas", pallas_interpret=True, pallas_zpad=8,
+    )
+    fine = sharded.levels_stacked[-1]
+    assert isinstance(fine.op, ShardedPallasLaplace)
+    assert fine.op.local.zpad == 8
+    assert isinstance(fine.smoother, ShardedFusedChebyshev)
+    assert fine.smoother.op_smooth is not None
+    assert fine.smoother.op_cheb2 is not None, "pair kernel must build zpad"
+    assert fine.smoother.op_cheb2.zpad == 8
+    x_s, st_s = sharded.solve(rtol=1e-5)
+    single = GeometricMultigridPoisson(3, 4, 3, dtype=jnp.float64)
+    x_1, st_1 = single.solve(rtol=1e-5)
+    assert st_s.converged
+    assert st_s.iterations == st_1.iterations
+    scale = np.abs(np.asarray(x_1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_s, dtype=np.float64).reshape(-1),
+        np.asarray(x_1).reshape(-1),
+        atol=2e-5 * scale,
+    )
+
+
+def test_sharded_cheb2_odd_steps_match_single_chip():
+    """ODD recurrence step counts in the sharded pair smoother (VERDICT r3
+    item 7): degree 4 runs 3 recurrence steps — one cheb2 pair followed by
+    one single-step chebf rung with its plane-0 halo correction — and must
+    agree with the single-chip FusedChebyshev mixing pairs and singles the
+    same way."""
+    from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2
+    from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+    from portable_multigrid_tpu.parallel.poisson import (
+        _build_stacked_cheb2,
+        _build_stacked_pallas,
+    )
+    from portable_multigrid_tpu.parallel.sharding import ShardedFusedChebyshev
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    dim, p, r, n_dev = 3, 4, 3, 4
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    n = sp.mesh.cells_per_axis
+    exact1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True)
+    mxu1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True,
+                               core="mxu")
+    k2_1 = make_cheb2(sp, jnp.float32, bx=2, by=4, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    fused1 = FusedChebyshev(degree=4, op=exact1, op_smooth=mxu1,
+                            op_cheb2=k2_1, theta=theta, delta=delta)
+
+    rng = np.random.default_rng(11)
+    m = np.asarray(exact1.mask)
+    b = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+    u = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+
+    op_st = _build_stacked_pallas(sp, n_dev, jnp.float32, interpret=True)
+    mxu_st = _build_stacked_pallas(sp, n_dev, jnp.float32, core="mxu",
+                                   interpret=True)
+    k2_st = _build_stacked_cheb2(sp, n_dev, jnp.float32, interpret=True,
+                                 bx=2, by=4)
+    assert op_st is not None and mxu_st is not None and k2_st is not None
+    b_st = jnp.asarray(partition_axis0(b, n, p, n_dev))
+    u_st = jnp.asarray(partition_axis0(u, n, p, n_dev))
+
+    sm_st = ShardedFusedChebyshev(
+        axis_name=AXIS, n_shards=n_dev, degree=4,
+        op=op_st, op_smooth=mxu_st, op_cheb2=k2_st,
+        theta=jnp.broadcast_to(theta, (n_dev,)),
+        delta=jnp.broadcast_to(delta, (n_dev,)),
+    )
+
+    def f(sm_stacked, u_stacked, b_stacked):
+        sm = _unstack(sm_stacked)
+        return (sm.apply(b_stacked[0])[None],
+                sm.smooth(u_stacked[0], b_stacked[0])[None])
+
+    za_st, sa_st = jax.jit(
+        jax.shard_map(
+            f, mesh=_mesh(n_dev),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS),) * 2,
+            check_vma=False,
+        )
+    )(sm_st, u_st, b_st)
+
+    # BOTH surfaces compare at bf16 grade here (unlike the even-degree test,
+    # where apply is block-for-block identical): the single-chip odd entry
+    # runs the in-kernel "cheb2f0" d0 derivation while the sharded path
+    # derives d0 in XLA — 1-ulp f32 differences in d0 flip bf16 roundings
+    # of the pair's d stream in scattered entries.
+    for got_st, want, tol in ((za_st, fused1.apply(b), 3e-3),
+                              (sa_st, fused1.smooth(u, b), 3e-3)):
+        want = np.asarray(want)
+        got = unpartition_axis0(np.asarray(got_st), n, p, n_dev)
+        np.testing.assert_allclose(got, want, atol=tol * np.abs(want).max())
+        for s in range(n_dev - 1):
+            np.testing.assert_allclose(
+                np.asarray(got_st)[s][-1], np.asarray(got_st)[s + 1][0],
+                atol=1e-6 * np.abs(want).max(),
+            )
+
+
+def test_2d_pencil_cheb2_odd_steps_match_single_chip():
+    """ODD recurrence step counts on the 2D pencil mesh (VERDICT r3 item 7):
+    degree 4 runs one true pair plus a ZERO-COEFFICIENT tail pair (step 2 of
+    the pair collapses to the identity: d2 = 0, x2 = x1 — exact), so the
+    pencil smoother no longer falls back to plain Chebyshev for odd
+    configs."""
+    from portable_multigrid_tpu.ops.pallas_cheb2 import make_cheb2
+    from portable_multigrid_tpu.ops.pallas_laplace import make_pallas_laplace
+    from portable_multigrid_tpu.parallel.mesh2d import (
+        AX,
+        AY,
+        ShardedFused2DChebyshev,
+        _build_stacked_cheb2_2d,
+        _build_stacked_pallas2d,
+        partition_2d,
+        unpartition_2d,
+    )
+    from portable_multigrid_tpu.solvers.chebyshev import FusedChebyshev
+
+    dim, p, r, sx, sy = 3, 4, 3, 2, 2
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    n = sp.mesh.cells_per_axis
+    exact1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True)
+    mxu1 = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True,
+                               core="mxu")
+    k2_1 = make_cheb2(sp, jnp.float32, bx=2, by=2, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    fused1 = FusedChebyshev(degree=4, op=exact1, op_smooth=mxu1,
+                            op_cheb2=k2_1, theta=theta, delta=delta)
+
+    rng = np.random.default_rng(13)
+    m = np.asarray(exact1.mask)
+    b = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+    u = (rng.standard_normal(sp.grid_shape) * m).astype(np.float32)
+
+    op_st = _build_stacked_pallas2d(sp, sx, sy, jnp.float32, interpret=True)
+    k2_st = _build_stacked_cheb2_2d(sp, sx, sy, jnp.float32, interpret=True,
+                                    bx=2, by=2)
+    assert op_st is not None and k2_st is not None
+    b_st = jnp.asarray(partition_2d(b, n, p, sx, sy))
+    u_st = jnp.asarray(partition_2d(u, n, p, sx, sy))
+
+    sm_st = ShardedFused2DChebyshev(
+        sx=sx, sy=sy, degree=4,
+        op=op_st, op_cheb2=k2_st,
+        theta=jnp.broadcast_to(theta, (sx, sy)),
+        delta=jnp.broadcast_to(delta, (sx, sy)),
+    )
+    mesh2 = Mesh(np.array(jax.devices()[: sx * sy]).reshape(sx, sy),
+                 (AX, AY))
+
+    def f(sm_stacked, u_stacked, b_stacked):
+        sm = _unstack(_unstack(sm_stacked))
+        return (sm.apply(b_stacked[0, 0])[None, None],
+                sm.smooth(u_stacked[0, 0], b_stacked[0, 0])[None, None])
+
+    za_st, sa_st = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh2,
+            in_specs=(P(AX, AY), P(AX, AY), P(AX, AY)),
+            out_specs=(P(AX, AY),) * 2,
+            check_vma=False,
+        )
+    )(sm_st, u_st, b_st)
+
+    # bf16-grade on both surfaces: the single-chip odd path mixes the
+    # "cheb2f0"/"chebl" modes while the pencil runs pair + zero-coeff pair —
+    # same recurrence values, different rounding order (cf. the 1D odd test)
+    for got_st, want, tol in ((za_st, fused1.apply(b), 3e-3),
+                              (sa_st, fused1.smooth(u, b), 3e-3)):
+        want = np.asarray(want)
+        got = unpartition_2d(np.asarray(got_st), n, p, sx, sy)
+        np.testing.assert_allclose(got, want, atol=tol * np.abs(want).max())
+
+
+def test_2d_pencil_zpad_solve_matches_single_device():
+    """Lane-padded 2D-pencil fast path: the finest level builds the pencil
+    pallas operator AND the xext+yext cheb2 pair kernel with inert zero lane
+    padding; the solve matches single-device iteration counts exactly."""
+    from portable_multigrid_tpu.parallel.mesh2d import (
+        Sharded2DGeometricPoisson,
+        ShardedFused2DChebyshev,
+        ShardedPallas2DLaplace,
+    )
+
+    prob = Sharded2DGeometricPoisson(
+        3, 4, 3, mesh_shape=(2, 2), dtype=jnp.float32, variant="pallas",
+        pallas_interpret=True, pallas_zpad=8,
+    )
+    fine = prob.levels_stacked[-1]
+    assert isinstance(fine.op, ShardedPallas2DLaplace)
+    assert fine.op.local.zpad == 8
+    assert isinstance(fine.smoother, ShardedFused2DChebyshev)
+    assert fine.smoother.op_cheb2.zpad == 8
+    x, st = prob.solve(rtol=1e-5)
+    single = GeometricMultigridPoisson(3, 4, 3, dtype=jnp.float64)
+    x1, st1 = single.solve(rtol=1e-5)
+    assert st.converged
+    assert st.iterations == st1.iterations
+    scale = np.abs(np.asarray(x1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x, dtype=np.float64), np.asarray(x1),
+        atol=2e-5 * scale,
+    )
