@@ -167,4 +167,18 @@ elif which == "5":  # coarse sub-128-lane levels padded UP to 128 lanes —
     sp2 = space(2, 4)  # 16 lanes -> zpad 112; blocks: n=4 cells -> bx=4
     probe_laplace("banded4_r2q4_z112", sp2, 4, 4, "banded", zpad=112,
                   modes=("apply", "residual3t"))
+elif which == "6":  # the in-VMEM mega coarse-cycle kernel (interpret-only
+    # since round 3: Mosaic crash with no text — re-probe for diagnostics)
+    from portable_multigrid_tpu.ops.pallas_coarse import make_coarse_cycle
+
+    for max_r in (4, 5):
+        spaces_c = [space(rr, 4) for rr in range(0, max_r + 1)]
+        try:
+            kern = make_coarse_cycle(spaces_c, f32)
+            t = tuple(s - 1 for s in spaces_c[-1].grid_shape)
+            try_compile(f"mega_coarse_r{max_r}",
+                        lambda b, k=kern: k.apply(b), (sds(t),))
+        except Exception as e:  # noqa: BLE001
+            print(f"SKIP mega_coarse_r{max_r}: builder: "
+                  f"{repr(e)[:200]}", flush=True)
 print("probe done", flush=True)

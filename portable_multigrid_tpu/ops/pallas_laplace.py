@@ -1251,13 +1251,27 @@ def make_laplace_auto(
                     op = make_pallas_laplace(
                         space, dtype, bx=bx, by=by, core=core
                     )
-                    if (space.degree in _BANDED_CRASH_DEGREES
-                            and jax.default_backend() != "cpu"
+                    # EVERY candidate is AOT compile-probed (memoized) on a
+                    # real backend before being returned: the declared-VMEM
+                    # estimate above cannot see register-allocator spills —
+                    # the 2026 toolchain OOM'd the p=7 banded 8x8 kernel
+                    # with 106.7M of SPILL SLOTS (q7_r5 batch-1 capture)
+                    # after round 3 had it compiling, so the crash envelope
+                    # is toolchain-dependent and must be probed, not listed.
+                    if (jax.default_backend() != "cpu"
                             and not laplace_compile_ok(
-                                op, modes=_SMOOTH_MODES)):
-                        # crash-listed degrees have an unmapped Mosaic
-                        # envelope: probe the recurrence modes before
-                        # handing the kernel to a fused smoother
+                                op,
+                                modes=(_SMOOTH_MODES if core != "banded"
+                                       else _EXACT_MODES))):
                         continue
+                    return op
+        if core == "banded":
+            # no banded candidate compiles: the compile-probed mxu3
+            # (f32-faithful) rescue, exactly as for the crash-listed degrees
+            import os
+
+            if os.environ.get("PMG_NO_MXU3_EXACT", "0") != "1":
+                op = _exact_rescue(space, dtype, precision)
+                if op is not None:
                     return op
     return make_laplace(space, dtype, variant="kron", precision=precision)
