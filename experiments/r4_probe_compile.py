@@ -167,6 +167,17 @@ elif which == "5":  # coarse sub-128-lane levels padded UP to 128 lanes —
     sp2 = space(2, 4)  # 16 lanes -> zpad 112; blocks: n=4 cells -> bx=4
     probe_laplace("banded4_r2q4_z112", sp2, 4, 4, "banded", zpad=112,
                   modes=("apply", "residual3t"))
+elif which == "7":  # re-probe the round-3 "16x16 blocks @ >256 lanes"
+    # crash rule at r=7 Q4 (512 lanes) — the 2026-08 toolchain changed the
+    # Mosaic pass, and this cap is what holds r=7 at 8x8 blocks (0.887x)
+    sp7 = space(7, 4)
+    probe_laplace("banded16_r7q4", sp7, 16, 16, "banded",
+                  modes=("apply", "residual3t"))
+    probe_laplace("mxu16_r7q4", sp7, 16, 16, "mxu", modes=("cheb", "chebl"))
+    probe_cheb2("cheb2_r7q4_16x16", sp7, 16, 16)
+    probe_laplace("banded16x8_r7q4", sp7, 16, 8, "banded",
+                  modes=("apply", "residual3t"))
+    probe_cheb2("cheb2_r7q4_16x8", sp7, 16, 8)
 elif which == "6":  # the in-VMEM mega coarse-cycle kernel (interpret-only
     # since round 3: Mosaic crash with no text — re-probe for diagnostics)
     from portable_multigrid_tpu.ops.pallas_coarse import make_coarse_cycle

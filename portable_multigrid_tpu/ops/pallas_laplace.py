@@ -63,10 +63,20 @@ def lane_pad(space: FESpace) -> int:
     matrices are zero there (to_bands of the zero-extended 1D matrices), so
     padded output lanes are exactly zero and padded input lanes contribute
     nothing — the same mechanism that already drops the global Dirichlet
-    last plane.  Sub-128-lane grids stay ineligible (kernels with <128
-    lanes crash Mosaic, see CLAUDE.md round-3 rules)."""
+    last plane.
+
+    Sub-128-lane grids (the coarse r<=4 tail) are by default ineligible
+    (kernels with <128 lanes crash Mosaic, CLAUDE.md round-3 rules);
+    PMG_ZPAD_UP=1 pads them UP to one full 128-lane tile so coarse levels
+    ride the fused smoother kernels too (the coarse-recursion lever,
+    VERDICT r3 item 2 — pad lanes are inert zeros, so the extra z work is
+    pure bandwidth on levels where fixed costs dominate)."""
+    import os
+
     Z = space.mesh.cells_per_axis * space.degree
-    return 0 if Z < 128 else (-Z) % 128
+    if Z < 128:
+        return 128 - Z if os.environ.get("PMG_ZPAD_UP", "0") == "1" else 0
+    return (-Z) % 128
 
 
 def pallas_eligible(
@@ -80,7 +90,9 @@ def pallas_eligible(
     z work is pure bandwidth on a level where fixed costs dominate)."""
     n, p = space.mesh.cells_per_axis, space.degree
     if zpad is None:
-        lanes_ok = n * p >= 128  # z lanes pad up to the next 128-multiple
+        # pad to the next 128-multiple per the lane_pad policy (which
+        # admits sub-128-lane grids only under PMG_ZPAD_UP=1)
+        lanes_ok = n * p + lane_pad(space) >= 128
     else:
         Z = n * p + zpad
         lanes_ok = Z >= 128 and Z % 128 == 0 and (zpad == 0 or zpad >= p)
@@ -1231,6 +1243,11 @@ def make_laplace_auto(
             cands = ((8, 8),)
         else:
             cands = ((16, 8), (8, 8))
+        n_cells = space.mesh.cells_per_axis
+        if n_cells < 8:
+            # zpad-up coarse levels (PMG_ZPAD_UP): whole-grid block on
+            # meshes smaller than the standard block edges
+            cands = cands + ((n_cells, n_cells),)
         for bx, by in cands:
             if pallas_eligible(space, bx, by):
                 X, Y = bx * space.degree + 1, by * space.degree + 1

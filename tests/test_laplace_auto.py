@@ -110,3 +110,31 @@ def test_q5_lane_padded_pallas():
     op = make_laplace_auto(sp, jnp.float32)
     assert isinstance(op, PallasLaplaceOperator)
     assert op.zpad == 96
+
+
+def test_zpad_up_admits_coarse_levels(monkeypatch):
+    """PMG_ZPAD_UP=1 pads sub-128-lane coarse levels up to one 128-lane
+    tile so the whole hierarchy rides the fused kernels (the
+    coarse-recursion lever); default policy keeps them on kron."""
+    sp3 = FESpace(HyperCubeMesh(3, 3), 4)  # 32 lanes
+    sp2 = FESpace(HyperCubeMesh(3, 2), 4)  # 16 lanes, n=4 < block edge 8
+
+    assert not isinstance(
+        make_laplace_auto(sp3, jnp.float32), PallasLaplaceOperator
+    )
+
+    monkeypatch.setenv("PMG_ZPAD_UP", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    monkeypatch.setattr(pll, "laplace_compile_ok", lambda op, **k: True)
+    op = make_laplace_auto(sp3, jnp.float32)
+    assert isinstance(op, PallasLaplaceOperator)
+    assert op.zpad == 96 and op.bx == 8
+    op2 = make_laplace_auto(sp2, jnp.float32)
+    assert isinstance(op2, PallasLaplaceOperator)
+    assert op2.zpad == 112 and op2.bx == 4  # whole-grid block
+
+    # a probe failure degrades to kron exactly as for lane-exact grids
+    monkeypatch.setattr(pll, "laplace_compile_ok", lambda op, **k: False)
+    assert not isinstance(
+        make_laplace_auto(sp3, jnp.float32), PallasLaplaceOperator
+    )

@@ -112,6 +112,64 @@ def _vcycle(sp_c, sp_f, fine_op):
                   fine_trimmed=fine_trim, levels=tuple(levels))
 
 
+def test_zpad_up_hierarchy_matches_plain():
+    """Every non-base level trimmed+padded with a DIFFERENT zpad (the
+    PMG_ZPAD_UP coarse-level composition): TrimmedTransfer must convert
+    between distinct per-level pad widths on both its fine and coarse
+    sides.  The preconditioner action matches the all-plain hierarchy."""
+    from portable_multigrid_tpu.ops.laplace import make_laplace
+
+    dtype = jnp.float32
+    sps = [FESpace(HyperCubeMesh(3, r), 4) for r in (1, 2, 3)]
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+
+    def build(zpads):
+        levels = []
+        for i, sp in enumerate(sps):
+            if i == 0:
+                sm = make_chebyshev(
+                    make_laplace(sp, dtype, variant="kron"),
+                    smoothing_range=1e-3, degree=None,
+                    eig_cg_n_iterations=sp.n_dofs,
+                )
+                levels.append(MGLevel(op=sm.op, smoother=sm, transfer=None))
+                continue
+            if zpads is None:
+                op = make_laplace(sp, dtype, variant="kron")
+                sm = make_chebyshev(op, smoothing_range=15.0, degree=5,
+                                    eig_cg_n_iterations=10)
+            else:
+                bx = min(4, sp.mesh.cells_per_axis)
+                op = make_pallas_laplace(
+                    sp, dtype, bx=bx, by=bx, interpret=True, core="banded",
+                    zpad=zpads[i],
+                )
+                sm = FusedChebyshev(degree=5, op=op, op_smooth=op,
+                                    theta=theta, delta=delta, trimmed_io=True)
+            levels.append(MGLevel(
+                op=op, smoother=sm,
+                transfer=make_h_transfer(sps[i - 1], sp, dtype),
+            ))
+        levels, fine_trim = wire_trimmed(levels)
+        return VCycle(pre_smoothing_steps=2, post_smoothing_steps=2,
+                      fine_trimmed=fine_trim, levels=tuple(levels))
+
+    # plain baseline smoother != FusedChebyshev numerically only through
+    # op precision; both use the exact banded/kron operators, so the cycle
+    # actions agree to roundoff
+    mg_pad = build({1: 12, 2: 8})
+    mg_ref = build({1: 0, 2: 0})
+    rng = np.random.default_rng(3)
+    sp_f = sps[-1]
+    m = np.asarray(FESpace(HyperCubeMesh(3, 3), 4).free_mask())
+    b = jnp.asarray(rng.standard_normal(sp_f.grid_shape) * m, jnp.float32)
+    a = np.asarray(mg_ref.apply(b))
+    c = np.asarray(mg_pad.apply(b))
+    assert a.shape == c.shape
+    assert np.abs(a - c).max() <= 5e-6 * np.abs(a).max()
+
+
 def test_zpad_vcycle_matches_unpadded():
     """The wired trimmed V-cycle (TrimmedTransfer zpad conversions, top-level
     pad/trim) gives the same preconditioner action with a lane-padded fine
