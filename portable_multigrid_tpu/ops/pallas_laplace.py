@@ -65,17 +65,23 @@ def lane_pad(space: FESpace) -> int:
     nothing — the same mechanism that already drops the global Dirichlet
     last plane.
 
-    Sub-128-lane grids (the coarse r<=4 tail) are by default ineligible
-    (kernels with <128 lanes crash Mosaic, CLAUDE.md round-3 rules);
-    PMG_ZPAD_UP=1 pads them UP to one full 128-lane tile so coarse levels
-    ride the fused smoother kernels too (the coarse-recursion lever,
-    VERDICT r3 item 2 — pad lanes are inert zeros, so the extra z work is
-    pure bandwidth on levels where fixed costs dominate)."""
+    Sub-128-lane grids (the coarse r<=4 tail) pad UP to one full 128-lane
+    tile on TPU backends so coarse levels ride the fused smoother kernels
+    too (the coarse-recursion lever, VERDICT r3 item 2 — pad lanes are
+    inert zeros, so the extra z work is pure bandwidth on levels where
+    per-kernel fixed costs dominate; measured r=6 Q4 16.81 -> 16.12 ms =
+    1.053e9 DoF/s, experiments/r4_batch4.py).  Kernels with <128 lanes
+    crash Mosaic, so without the pad-up these levels are ineligible — the
+    CPU default, which keeps interpret-mode tests on their small exact
+    extents.  PMG_ZPAD_UP=0/1 overrides either default."""
     import os
 
     Z = space.mesh.cells_per_axis * space.degree
     if Z < 128:
-        return 128 - Z if os.environ.get("PMG_ZPAD_UP", "0") == "1" else 0
+        on = os.environ.get("PMG_ZPAD_UP")
+        if on is None:
+            on = "0" if jax.default_backend() == "cpu" else "1"
+        return 128 - Z if on == "1" else 0
     return (-Z) % 128
 
 

@@ -123,7 +123,9 @@ def test_zpad_up_admits_coarse_levels(monkeypatch):
         make_laplace_auto(sp3, jnp.float32), PallasLaplaceOperator
     )
 
-    monkeypatch.setenv("PMG_ZPAD_UP", "1")
+    # on a TPU backend the pad-up policy is the DEFAULT (no env needed;
+    # measured 1.053e9 DoF/s at r=6 Q4, experiments/r4_batch4.py)
+    monkeypatch.delenv("PMG_ZPAD_UP", raising=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "axon")
     monkeypatch.setattr(pll, "laplace_compile_ok", lambda op, **k: True)
     op = make_laplace_auto(sp3, jnp.float32)
@@ -135,6 +137,13 @@ def test_zpad_up_admits_coarse_levels(monkeypatch):
 
     # a probe failure degrades to kron exactly as for lane-exact grids
     monkeypatch.setattr(pll, "laplace_compile_ok", lambda op, **k: False)
+    assert not isinstance(
+        make_laplace_auto(sp3, jnp.float32), PallasLaplaceOperator
+    )
+
+    # PMG_ZPAD_UP=0 is the TPU-side escape hatch
+    monkeypatch.setenv("PMG_ZPAD_UP", "0")
+    monkeypatch.setattr(pll, "laplace_compile_ok", lambda op, **k: True)
     assert not isinstance(
         make_laplace_auto(sp3, jnp.float32), PallasLaplaceOperator
     )
