@@ -29,6 +29,15 @@ the equivalence.
 
 IO convention: trimmed state on the top level (the fused pipeline's native
 representation), padded/sliced inside the kernel.
+
+STATUS (round 4): superseded as the production coarse-tail lever.  The
+mega-kernel never compiled on real Mosaic (register-spill OOM at 64-extent
+tops; interpret-mode only, PMG_BENCH_MEGA_COARSE=1 to probe) — the lever it
+targeted was instead claimed by zpad-up (ops/pallas_laplace.py:lane_pad,
+the TPU default): padding sub-128-lane coarse levels to one 128-lane tile
+lets every coarse level ride the standard fused kernel family, measured
+r=5 sub-cycle 3.72 -> 0.465 ms (experiments/r4_batch4.py).  Kept as a
+tested reference implementation of whole-recursion-in-VMEM.
 """
 
 from __future__ import annotations
