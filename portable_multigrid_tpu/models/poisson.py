@@ -52,9 +52,13 @@ def _build_level(
 ) -> MGLevel:
     smoother_op = None
     if coefficient is not None:
-        # variable coefficients force the sumfac path; coarse levels are
-        # re-discretizations of the same coefficient (standard geometric MG)
-        op = make_laplace(space, dtype, variant="sumfac", coefficient=coefficient)
+        # variable coefficients run the qdense MXU path by default (two
+        # large element matmuls around a q-point scale — ~40x the sumfac
+        # throughput on TPU); coarse levels are re-discretizations of the
+        # same coefficient (standard geometric MG).  PMG_VARCOEFF_VARIANT
+        # opts back into sumfac (the low-memory general path).
+        vc = os.environ.get("PMG_VARCOEFF_VARIANT", "qdense")
+        op = make_laplace(space, dtype, variant=vc, coefficient=coefficient)
     elif variant == "auto":
         from ..ops.pallas_laplace import PallasLaplaceOperator, make_laplace_auto
 

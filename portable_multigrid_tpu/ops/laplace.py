@@ -82,6 +82,16 @@ class LaplaceOperator:
     # stage exactly like the reference's pluggable geometry data (SURVEY.md §7
     # M5); None = unit coefficient.
     coef: jnp.ndarray = None
+    # "qdense" variant (variable-coefficient MXU fast path): the element
+    # gradient operator as ONE dense matrix [(p+1)^dim, dim*nq^dim]
+    # (each column block d is kron over axes of Dco@B if a==d else B), and
+    # the per-element q-point weights w_q h^(dim-2) c(x_q) as [E, nq^dim].
+    # The apply is then flat_u @ Gmat -> scale -> @ Gmat.T — two large
+    # systolic-array matmuls instead of 2*dim layout-shuffling tensordots,
+    # which is the MXU-shaped form of the reference's variable-coefficient
+    # q-point loop (include/operators/portable_laplace_operator.h:300-340).
+    Gmat: jnp.ndarray = None
+    wcoef_e: jnp.ndarray = None
 
     # -- shapes -----------------------------------------------------------
     @property
@@ -205,6 +215,37 @@ class LaplaceOperator:
             inv[p_] = i
         return t.transpose(inv)
 
+    def apply_local_qdense(self, ue: jnp.ndarray) -> jnp.ndarray:
+        """Variable-coefficient element apply as two large MXU matmuls.
+
+        g = U @ G gives all dim gradient components at all q points for
+        every element in one [E, (p+1)^dim] x [(p+1)^dim, dim*nq^dim]
+        matmul; the metric/coefficient application is one elementwise
+        scale; the transposed-gradient accumulation is the mirrored
+        matmul with G^T.  Same quadrature as ``apply_local`` — equal to
+        roundoff (tests/test_operator.py::test_qdense_matches_sumfac)."""
+        dim = self.dim
+        perm = tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
+        t = ue.transpose(perm)
+        q = self.degree + 1
+        E = 1
+        for nd in self.n:
+            E *= nd
+        flat = t.reshape(E, q**dim)
+        g = jnp.dot(flat, self.Gmat, precision=self.precision,
+                    preferred_element_type=flat.dtype)
+        nqd = self.Gmat.shape[1] // dim
+        g = (g.reshape(E, dim, nqd) * self.wcoef_e[:, None, :]).reshape(
+            E, dim * nqd
+        )
+        r = jnp.dot(g, self.Gmat.T, precision=self.precision,
+                    preferred_element_type=flat.dtype)
+        t = r.reshape(tuple(self.n) + (q,) * dim)
+        inv = [0] * (2 * dim)
+        for i, p_ in enumerate(perm):
+            inv[p_] = i
+        return t.transpose(inv)
+
     def apply_kron(self, um: jnp.ndarray) -> jnp.ndarray:
         """Apply via assembled per-axis 1D matrices (Kronecker-sum form).
 
@@ -250,6 +291,8 @@ class LaplaceOperator:
         ue = split_all(um, self.dim, self.n, self.degree)
         if self.variant == "dense":
             r = self.apply_local_dense(ue)
+        elif self.variant == "qdense":
+            r = self.apply_local_qdense(ue)
         else:
             r = self.apply_local(ue)
         return overlap_add_all(r, self.dim, self.n, self.degree)
@@ -358,6 +401,22 @@ def assembled_1d_matrices(space: FESpace) -> tuple[np.ndarray, np.ndarray]:
     return K1, M1
 
 
+def _grad_matrix(basis, dim: int) -> np.ndarray:
+    """Dense element gradient operator [(p+1)^dim, dim*nq^dim] (setup time).
+
+    Column block d maps nodal element DoFs to the d-derivative at all
+    quadrature points: kron over axes of (Dco @ B if a == d else B) —
+    identical factors to the sum-factorized pipeline's stage 1+2."""
+    DB = basis.Dco @ basis.B
+    blocks = []
+    for d in range(dim):
+        G = np.array([[1.0]])
+        for a in range(dim):
+            G = np.kron(G, DB if a == d else basis.B)
+        blocks.append(G)  # [nq^dim, (p+1)^dim]
+    return np.concatenate(blocks, axis=0).T
+
+
 def _coef_at_quad(space: FESpace, coefficient) -> np.ndarray:
     """Sample a coefficient callable at all quadrature points: [n*nq]^dim."""
     from ..fem.assemble import quad_grid_1d
@@ -428,16 +487,34 @@ def make_laplace(
     coef = None
     inv_diag_full = None
     dK1 = dM1 = None
+    Gmat = wcoef_e = None
     if coefficient is not None:
-        if variant != "sumfac":
+        if variant in ("auto", "qdense"):
+            variant = "qdense"
+        elif variant != "sumfac":
             raise ValueError(
-                "variable coefficients require the 'sumfac' variant"
+                "variable coefficients require the 'sumfac' or 'qdense' "
+                "variant"
             )
         coef = _coef_at_quad(space, coefficient)
         # the variable-coefficient diagonal is not separable: store it whole
         inv_diag_full = jnp.asarray(
             1.0 / _diagonal_grid_coef(space, coef), dtype
         )
+        if variant == "qdense":
+            nq = b.n_q
+            n_c = space.mesh.cells_per_axis
+            # coefficient grid [n*nq]^dim -> element layout [E, nq^dim],
+            # with the (already h-folded) quadrature metric baked in
+            shp = []
+            for _ in range(dim):
+                shp.extend((n_c, nq))
+            ce = coef.reshape(shp)
+            perm = tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
+            ce = ce.transpose(perm).reshape(n_c**dim, nq**dim)
+            Gmat = jnp.asarray(_grad_matrix(b, dim), dtype)
+            wcoef_e = jnp.asarray(ce * qm.reshape(1, -1), dtype)
+            coef = None  # grid-layout copy not needed on the qdense path
     else:
         gK, gM = diagonal_1d_factors(space)
         dK1 = (jnp.asarray(gK, dtype),) * dim
@@ -452,7 +529,7 @@ def make_laplace(
         K1, M1 = assembled_1d_matrices(space)
         Kg = (jnp.asarray(K1, dtype),) * dim
         Mg = (jnp.asarray(M1, dtype),) * dim
-    elif variant != "sumfac":
+    elif variant not in ("sumfac", "qdense"):
         raise ValueError(f"unknown operator variant: {variant!r}")
     return LaplaceOperator(
         dim=dim,
@@ -471,4 +548,6 @@ def make_laplace(
         Kg=Kg,
         Mg=Mg,
         coef=None if coef is None else jnp.asarray(coef, dtype),
+        Gmat=Gmat,
+        wcoef_e=wcoef_e,
     )

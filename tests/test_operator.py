@@ -105,13 +105,14 @@ def _coef(*xs):
 
 
 @pytest.mark.parametrize("dim,p,r", [(1, 3, 2), (2, 2, 2), (3, 2, 1)])
-def test_variable_coefficient_matches_dense(dim, p, r):
+@pytest.mark.parametrize("variant", ["sumfac", "qdense"])
+def test_variable_coefficient_matches_dense(dim, p, r, variant):
     """a(u,v) = ∫ c grad u . grad v with a smooth c(x) (BASELINE config 4)."""
     from portable_multigrid_tpu.fem.assemble import dense_operator_coefficient
 
     sp = FESpace(HyperCubeMesh(dim, r), p)
     A = dense_operator_coefficient(sp, _coef)
-    op = make_laplace(sp, coefficient=_coef)
+    op = make_laplace(sp, coefficient=_coef, variant=variant)
     rng = np.random.default_rng(5)
     u = rng.standard_normal(sp.grid_shape)
     got = np.asarray(op.apply(u)).reshape(-1)
@@ -120,6 +121,22 @@ def test_variable_coefficient_matches_dense(dim, p, r):
     np.testing.assert_allclose(
         (1.0 / np.asarray(op.inv_diag)).reshape(-1), np.diag(A), rtol=1e-12
     )
+
+
+@pytest.mark.parametrize("dim,p,r", [(3, 4, 2), (2, 7, 3)])
+def test_qdense_matches_sumfac(dim, p, r):
+    """qdense (two-matmul MXU form) == sumfac q-point loop to roundoff at
+    the degrees the dense oracle can't reach."""
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal(sp.grid_shape)
+    ref = np.asarray(
+        make_laplace(sp, coefficient=_coef, variant="sumfac").apply(u)
+    )
+    got = np.asarray(
+        make_laplace(sp, coefficient=_coef, variant="qdense").apply(u)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-13 * np.abs(ref).max())
 
 
 def test_pallas_operator_interpret_mode():
