@@ -59,7 +59,17 @@ def bench_pladder(r, variant):
     print(json.dumps(rec), flush=True)
 
 
-for rr, vv in ((9, "sumfac"), (8, "kron")):
+import sys
+
+CASES = ((9, "sumfac"), (8, "kron"))
+if len(sys.argv) > 1:
+    # run ONE case per process: the first attempt's r=9 sumfac run crashed
+    # the TPU worker and the same-process r=8 kron call inherited the dead
+    # worker ("TPU worker process crashed or restarted").
+    rr, vv = sys.argv[1].split(":")
+    CASES = ((int(rr), vv),)
+
+for rr, vv in CASES:
     print(f"--- bench pladder r={rr} {vv} ---", flush=True)
     try:
         bench_pladder(rr, vv)

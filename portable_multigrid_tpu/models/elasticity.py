@@ -35,8 +35,16 @@ class ElasticityMultigrid:
         mu: float = 1.0,
         lam: float = 1.0,
         dtype=jnp.float64,
-        variant: str = "kron",
+        variant: str | None = None,
     ):
+        if variant is None:
+            # kron (assembled 1D matrices) is exact-roundoff and the CPU/f64
+            # default; PMG_ELASTICITY_VARIANT=dense selects the
+            # element-matrix single-MXU-matmul path (ops/elasticity.py:
+            # apply_dense) — O(E*(dim*ndof)^2) vs kron's O(N^4)-per-chain
+            import os
+
+            variant = os.environ.get("PMG_ELASTICITY_VARIANT", "kron")
         self.dtype = dtype
         mesh = HyperCubeMesh(dim, refinements)
         self.spaces = [

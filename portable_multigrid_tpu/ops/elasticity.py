@@ -37,7 +37,7 @@ class ElasticityOperator:
     degree: int = static_field()
     n: tuple = static_field()
     precision: str = static_field(default="highest")
-    variant: str = static_field(default="sumfac")  # "sumfac" | "kron"
+    variant: str = static_field(default="sumfac")  # "sumfac" | "kron" | "dense"
     mu: float = static_field(default=1.0)
     lam: float = static_field(default=1.0)
     B: jnp.ndarray = None
@@ -53,6 +53,9 @@ class ElasticityOperator:
     Mg: jnp.ndarray = None
     Gg: jnp.ndarray = None
     GgT: jnp.ndarray = None  # host-transposed copy (trial-derivative axes)
+    # "dense" variant: the constant [dim*(p+1)^dim]^2 element matrix
+    # (component-major), applied as ONE MXU matmul over all elements
+    elem_matrix: jnp.ndarray = None
 
     @property
     def grid_shape(self) -> tuple[int, ...]:
@@ -123,9 +126,51 @@ class ElasticityOperator:
             outs.append(out)
         return jnp.stack(outs)
 
+    def apply_dense(self, um: jnp.ndarray) -> jnp.ndarray:
+        """Element apply as ONE MXU matmul with the constant vector-valued
+        element matrix.
+
+        On the affine uniformly refined mesh every cell's elasticity element
+        matrix is identical, so the whole element loop — including ALL
+        component coupling — is a [E, dim*(p+1)^dim] @ [dim*(p+1)^dim]^2
+        matmul (the vector-valued twin of the scalar dense variant,
+        ops/laplace.py:apply_local_dense).  The kron variant's 21 assembled
+        Kronecker chains cost O(N^4) FLOPs per chain (dense global 1D
+        matrices); this path is O(E * (dim*ndof)^2) on the systolic array —
+        the TPU-shaped reformulation of the reference's per-cell q-point
+        gradient-tensor loop (reference:
+        include/operators/portable_laplace_operator.h:300-325)."""
+        dim = self.dim
+        q = self.degree + 1
+        perm = tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
+        inv = [0] * (2 * dim)
+        for i, p_ in enumerate(perm):
+            inv[p_] = i
+        E = 1
+        for nd in self.n:
+            E *= nd
+        flats = [
+            split_all(um[c], dim, self.n, self.degree)
+            .transpose(perm)
+            .reshape(E, q**dim)
+            for c in range(dim)
+        ]
+        flat = jnp.concatenate(flats, axis=1)  # [E, dim*ndof], component-major
+        r = jnp.dot(flat, self.elem_matrix, precision=self.precision,
+                    preferred_element_type=flat.dtype)
+        outs = []
+        for c in range(dim):
+            t = r[:, c * q**dim:(c + 1) * q**dim].reshape(
+                tuple(self.n) + (q,) * dim
+            ).transpose(inv)
+            outs.append(overlap_add_all(t, dim, self.n, self.degree))
+        return jnp.stack(outs)
+
     def apply_bilinear(self, um: jnp.ndarray) -> jnp.ndarray:
         if self.variant == "kron":
             return self.apply_kron(um)
+        if self.variant == "dense":
+            return self.apply_dense(um)
         dim, B, Dco = self.dim, self.B, self.Dco
         qaxes = [2 * d + 1 for d in range(dim)]
         w = self.qmetric.reshape(
@@ -257,7 +302,14 @@ def make_elasticity(
         qm = np.multiply.outer(qm, b.q_weights)
     qm = qm * space.mesh.h ** (dim - 2)
     diag = _elasticity_diagonal(space, mu, lam)
-    Kg = Mg = Gg = GgT = None
+    Kg = Mg = Gg = GgT = elem = None
+    if variant == "dense":
+        elem = jnp.asarray(
+            element_stiffness_elasticity(
+                space.degree, space.dim, space.mesh.h, mu, lam
+            ),
+            dtype,
+        )
     if variant == "kron":
         from .laplace import assembled_1d_matrices
 
@@ -284,6 +336,7 @@ def make_elasticity(
         Mg=Mg,
         Gg=Gg,
         GgT=GgT,
+        elem_matrix=elem,
     )
 
 

@@ -644,7 +644,12 @@ def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
     p = space.degree
     n = space.mesh.cells_per_axis
     Z = n * p + lane_pad(space)
-    cands = [(16, 8), (8, 8), (16, 16)] if Z <= 256 else [(16, 8), (8, 8)]
+    # >256 lanes: the 2026-08 toolchain lifted the round-3 16x16 Mosaic
+    # crash, and 16x16 pairs measure FASTEST at the r=7 512-lane fine
+    # level (11.66 vs 13.08 ms for 8x8, experiments/r4_batch5.py) — put it
+    # first; the compile probe below still guards unproven shapes.
+    cands = [(16, 8), (8, 8), (16, 16)] if Z <= 256 else [
+        (16, 16), (16, 8), (8, 8)]
     forced = os.environ.get("PMG_CHEB2_BLOCK")
     if forced:
         bx, by = (int(v) for v in forced.lower().split("x"))
@@ -674,7 +679,13 @@ def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
             continue
         if not ok(bx, by):
             continue
-        if not cheb2_vmem_ok(bx, by, p, Z):
+        if not cheb2_vmem_ok(bx, by, p, Z) and not validate:
+            # the static VMEM estimate is conservative (it counts every
+            # step intermediate as simultaneously live): when a real AOT
+            # compile probe runs, Mosaic's own scoped-allocation check is
+            # authoritative (16x16@512 lanes overshoots the estimate but
+            # compiles and runs fastest, experiments/r4_batch5.py); without
+            # a probe (interpret/CPU or PMG_CHEB2_VALIDATE=0) stay safe.
             continue
         kern = make_cheb2(space, dtype, bx=bx, by=by, interpret=interpret)
         if validate and not cheb2_compile_ok(kern):

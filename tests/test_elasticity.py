@@ -66,6 +66,21 @@ def test_elasticity_mg_solve():
 
 
 @pytest.mark.parametrize("dim,p,r", CASES)
+def test_elasticity_dense_variant_matches_dense(dim, p, r):
+    """The single-MXU-matmul element-matrix path (variant="dense") is the
+    exact same operator: constant element matrix on the affine mesh,
+    overlap-add assembly."""
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    A = dense_elasticity_operator(sp, mu=0.7, lam=1.3)
+    op = make_elasticity(sp, mu=0.7, lam=1.3, variant="dense")
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((dim,) + sp.grid_shape)
+    got = np.asarray(op.apply(u)).reshape(-1)
+    want = A @ u.reshape(-1)
+    np.testing.assert_allclose(got, want, atol=1e-12 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("dim,p,r", CASES)
 def test_elasticity_kron_matches_dense(dim, p, r):
     """The assembled-1D-matrix (Kronecker) fast path is the exact same
     operator: the elasticity weak form factorizes globally over the
