@@ -519,16 +519,17 @@ class ShardedFused2DChebyshev:
             x = x[:, :, : self._dims[3]]
         return jnp.pad(x, ((0, 0), (0, 0), (0, 1)))
 
-    def _steps(self, r, d, x):
+    def _steps(self, r, d, x, k0: int = 0, rho: float | None = None):
         from ..ops.pallas_cheb2 import _roundup8
 
         p = self.op_cheb2.degree
         Hd = _roundup8(2 * p)
         Hr = _roundup8(p)
         sigma1 = self.theta / self.delta
-        rho = 1.0 / sigma1
+        if rho is None:
+            rho = 1.0 / sigma1
         n = self.degree - 1
-        k = 0
+        k = k0
         while k < n:
             rho1 = 1.0 / (2.0 * sigma1 - rho)
             if k + 1 == n:
@@ -562,8 +563,35 @@ class ShardedFused2DChebyshev:
         return x
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
-        """Preconditioner vmult with x0 = 0 on a masked full pencil slab."""
+        """Preconditioner vmult with x0 = 0 on a masked full pencil slab.
+
+        Entry pair in mode "cheb2f0": d0 derived IN-KERNEL from the
+        halo-extended b window, exactly like the single-chip and 1D-slab
+        paths (no materialized r0/d0 HBM streams for the first two
+        steps)."""
+        from ..ops.pallas_cheb2 import _roundup8
+
         bt = self._trim(b)
+        n = self.degree - 1
+        if n >= 2:
+            p = self.op_cheb2.degree
+            sigma1 = self.theta / self.delta
+            rho = 1.0 / sigma1
+            rho1 = 1.0 / (2.0 * sigma1 - rho)
+            rho2 = 1.0 / (2.0 * sigma1 - rho1)
+            scal = jnp.stack([
+                rho1 * rho, 2.0 * rho1 / self.delta,
+                rho2 * rho1, 2.0 * rho2 / self.delta, self.theta,
+            ]).astype(jnp.float32)
+            mode = "cheb2f0l" if n == 2 else "cheb2f0"
+            outs = self.op_cheb2.steps2(
+                self._ext2(bt, 2 * p, _roundup8(2 * p)), None, None,
+                scal, mode, sdtype="f32",
+            )
+            if n == 2:
+                return self._to_full(outs[0])
+            r, d, x = outs
+            return self._to_full(self._steps(r, d, x, k0=2, rho=rho2))
         d0 = bt / (self.theta * self._diag_trimmed())
         return self._to_full(self._steps(bt, d0, d0))
 
