@@ -499,7 +499,18 @@ def make_chebyshev(
             if m is not None:
                 v0 = v0 * m
         v0_dev = jnp.asarray(v0, dtype)
-    n_iter = max(1, min(int(eig_cg_n_iterations), int(np.prod(shape))))
+    # Cap the Lanczos length: "eig iterations = m()" (the reference's
+    # Chebyshev-as-solver coarse config) is an UPPER bound — deal.II's
+    # SolverCG stops at convergence, and the extreme-eigenvalue estimates
+    # stabilize after tens of iterations.  Without a cap, a LARGE coarse
+    # level (the 2D p-ladder's Q1 level: 263k DoFs at r=9) requests a
+    # 263k-step device scan AND a (263k)^2 host tridiagonal (np.diag
+    # MemoryError, r4_batch7 capture).  256 leaves every golden-table
+    # configuration untouched (all golden coarse levels are < 256 DoFs).
+    import os
+
+    cap = int(os.environ.get("PMG_EIG_MAX_ITERS", "256"))
+    n_iter = max(1, min(int(eig_cg_n_iterations), int(np.prod(shape)), cap))
     min_eig, max_eig = estimate_eigenvalues(op, inv_diag, n_iter, v0_dev)
     alpha, beta, deg = chebyshev_bounds(min_eig, max_eig, smoothing_range, degree)
     theta = jnp.asarray((beta + alpha) / 2.0, dtype)
