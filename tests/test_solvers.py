@@ -171,3 +171,19 @@ def test_variable_coefficient_multigrid_solve():
     np.testing.assert_allclose(
         np.asarray(x).reshape(-1), want, atol=1e-9 * np.abs(want).max()
     )
+
+
+def test_eig_cap_large_coarse_level_convergence():
+    """The Lanczos cap (PMG_EIG_MAX_ITERS=256) governs Chebyshev-as-solver
+    coarse levels LARGER than the cap: the 2D Q7 r=4 p-ladder's Q1 coarse
+    level has 289 DoFs, so its "eig iterations = m()" request is capped —
+    convergence must stay at the mesh-independent 4 iterations with the
+    reference solution norm (the uncapped path OOM'd the host tridiagonal
+    at production sizes, experiments/r4_batch7.py)."""
+    from portable_multigrid_tpu.models.poisson import PolynomialMultigridPoisson
+
+    prob = PolynomialMultigridPoisson(2, 7, 4)
+    _, st = prob.solve()
+    assert st.converged
+    assert st.iterations == 4
+    assert st.solution_l2_norm == pytest.approx(0.0412615, rel=1e-5)
