@@ -38,13 +38,20 @@ class ElasticityMultigrid:
         variant: str | None = None,
     ):
         if variant is None:
-            # kron (assembled 1D matrices) is exact-roundoff and the CPU/f64
-            # default; PMG_ELASTICITY_VARIANT=dense selects the
-            # element-matrix single-MXU-matmul path (ops/elasticity.py:
-            # apply_dense) — O(E*(dim*ndof)^2) vs kron's O(N^4)-per-chain
+            # "auto" (TPU f32 default) compile-probes the banded Pallas
+            # vector kernel per level and degrades to kron
+            # (ops/pallas_elasticity.py:make_elasticity_auto); kron
+            # (assembled 1D matrices) is exact-roundoff and the CPU/f64
+            # default; PMG_ELASTICITY_VARIANT=dense|sumfac|kron|auto
+            # overrides
             import os
 
-            variant = os.environ.get("PMG_ELASTICITY_VARIANT", "kron")
+            default = (
+                "auto"
+                if dtype == jnp.float32 and jax.default_backend() != "cpu"
+                else "kron"
+            )
+            variant = os.environ.get("PMG_ELASTICITY_VARIANT", default)
         self.dtype = dtype
         mesh = HyperCubeMesh(dim, refinements)
         self.spaces = [
@@ -56,8 +63,14 @@ class ElasticityMultigrid:
         precision = "high" if dtype == jnp.float32 else "highest"
         levels = []
         for i, sp in enumerate(self.spaces):
-            op = make_elasticity(sp, dtype, mu=mu, lam=lam, variant=variant,
-                                 precision=precision)
+            if variant == "auto":
+                from ..ops.pallas_elasticity import make_elasticity_auto
+
+                op = make_elasticity_auto(sp, dtype, mu=mu, lam=lam,
+                                          precision=precision)
+            else:
+                op = make_elasticity(sp, dtype, mu=mu, lam=lam,
+                                     variant=variant, precision=precision)
             if i == 0:
                 sm = make_chebyshev(
                     op,
