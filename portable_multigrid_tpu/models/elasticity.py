@@ -91,11 +91,41 @@ class ElasticityMultigrid:
                         sp.free_mask()[None], (dim,) + sp.grid_shape
                     ),
                 )
+                sm = self._maybe_mxu_recurrence(sm, op, sp, dtype, mu, lam)
             tr = (
                 make_h_transfer(self.spaces[i - 1], sp, dtype) if i > 0 else None
             )
             levels.append(MGLevel(op=op, smoother=sm, transfer=tr))
         self.levels = tuple(levels)
+
+    @staticmethod
+    def _maybe_mxu_recurrence(sm, op, sp, dtype, mu, lam):
+        """Route the Chebyshev RECURRENCE through the bf16 MXU elasticity
+        core when the exact operator is the banded Pallas kernel (the
+        scalar-operator smoother split: recurrence state tolerates a
+        bf16-grade operator, level residuals/eig bounds stay on the exact
+        banded core — CG counts pinned by the batch-13 solve check and
+        tests/test_pallas_elasticity.py).  PMG_ELASTICITY_MXU=0 opts out."""
+        import dataclasses
+        import os
+
+        from ..ops.pallas_elasticity import (
+            PallasElasticityOperator,
+            elasticity_compile_ok,
+            make_pallas_elasticity,
+        )
+
+        if not isinstance(op, PallasElasticityOperator):
+            return sm
+        if os.environ.get("PMG_ELASTICITY_MXU", "1") != "1":
+            return sm
+        mxu = make_pallas_elasticity(
+            sp, dtype, mu=mu, lam=lam, bx=op.bx, by=op.by, core="mxu",
+            zpad=op.zpad, interpret=op.interpret,
+        )
+        if not elasticity_compile_ok(mxu):
+            return sm
+        return dataclasses.replace(sm, op=mxu)
 
     def solve(self, rtol: float = 1e-12, verbose: bool = False):
         fine = self.spaces[-1]

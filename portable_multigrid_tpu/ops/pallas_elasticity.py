@@ -65,10 +65,21 @@ class PallasElasticityOperator:
     mu: float = static_field(default=1.0)
     lam: float = static_field(default=1.0)
     variant: str = static_field(default="pallas")  # bench/model introspection
+    # "banded" = exact f32 roll+FMA on the VPU (CG/residual role); "mxu" =
+    # bf16 dense matmuls on the systolic array (smoother-recurrence role:
+    # the scalar-operator lesson — Chebyshev recurrences tolerate a
+    # bf16-grade operator, tests/test_pallas_smoother.py — carries over,
+    # pinned for elasticity by the solve-count check in
+    # tests/test_pallas_elasticity.py)
+    core: str = static_field(default="banded")
     # 12 band arrays: (Kz, Mz, Gz, Hz, Kx, Mx, Gx, Hx, Ky, My, Gy, Hy)
     # (H = G transpose); z global mask-folded + zero-embedded to the padded
     # lane extent, x/y PARTIAL block-local assemblies (carry-completed)
     bands: tuple = None
+    # "mxu" core: 12 dense bf16 matrices in the SAME slot order; z entries
+    # host-transposed (the dz contraction applies W^T), y entries broadcast
+    # to (X, Y, Y) for the batched dy pattern
+    dense_mats: tuple = None
     mask1: tuple = None  # per-axis [N_d] separable Dirichlet mask
     dK1: tuple = None  # per-axis 1D diagonal factors (scalar-operator twins)
     dM1: tuple = None
@@ -248,10 +259,62 @@ class PallasElasticityOperator:
             def banded(t, br, axis):
                 return banded_multi(t, (br,), axis)[0]
 
-            # ---- z stage: 4 banded products per component, shared rolls
-            b0, k0, g0, h0 = banded_multi(um[0], (Mz_r, Kz_r, Gz_r, Hz_r), 2)
-            b1, k1, g1, h1 = banded_multi(um[1], (Mz_r, Kz_r, Gz_r, Hz_r), 2)
-            b2, k2, g2, h2 = banded_multi(um[2], (Mz_r, Kz_r, Gz_r, Hz_r), 2)
+            if self.core == "banded":
+                # ---- z stage: 4 banded products per comp, shared rolls
+                b0, k0, g0, h0 = banded_multi(
+                    um[0], (Mz_r, Kz_r, Gz_r, Hz_r), 2
+                )
+                b1, k1, g1, h1 = banded_multi(
+                    um[1], (Mz_r, Kz_r, Gz_r, Hz_r), 2
+                )
+                b2, k2, g2, h2 = banded_multi(
+                    um[2], (Mz_r, Kz_r, Gz_r, Hz_r), 2
+                )
+            else:
+                # ---- "mxu" core: every 1D contraction a dense bf16 matmul
+                # with f32 accumulation (the scalar mxu core's dz/dy/dx
+                # patterns — Mosaic-safe: no transposes, bf16 inputs).
+                # Interpret mode upcasts the bf16-ROUNDED values to f32
+                # (identical products; "DotThunk" CPU limitation).
+                bf = jnp.bfloat16
+                f32 = jnp.float32
+                up = ((lambda v: v.astype(f32)) if self.interpret
+                      else (lambda v: v))
+
+                def dz(t, w_r):
+                    return jax.lax.dot_general(
+                        up(t.astype(bf)), up(w_r[...]),
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+
+                def dy(t, w_r):
+                    return jax.lax.dot_general(
+                        up(w_r[...]), up(t.astype(bf)),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=f32)
+
+                def dx(t, w_r):
+                    return jax.lax.dot_general(
+                        up(w_r[...]), up(t.astype(bf)),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+
+                def banded_multi(t, band_refs, axis):  # noqa: F811
+                    d = {2: dz, 1: dy, 0: dx}[axis]
+                    return [d(t, br) for br in band_refs]
+
+                def banded(t, br, axis):  # noqa: F811
+                    return banded_multi(t, (br,), axis)[0]
+
+                b0, k0, g0, h0 = banded_multi(
+                    um[0], (Mz_r, Kz_r, Gz_r, Hz_r), 2
+                )
+                b1, k1, g1, h1 = banded_multi(
+                    um[1], (Mz_r, Kz_r, Gz_r, Hz_r), 2
+                )
+                b2, k2, g2, h2 = banded_multi(
+                    um[2], (Mz_r, Kz_r, Gz_r, Hz_r), 2
+                )
 
             # ---- y stage (naming: first letter = y matrix m/k/g/h applied,
             # rest = z-stage input)
@@ -297,6 +360,7 @@ class PallasElasticityOperator:
             wbuf = jax.lax.rem(i, jnp.int32(2))
             rbuf = 1 - wbuf
             for c, raw in enumerate((raw0, raw1, raw2)):
+                raw = raw.astype(dtype)  # mxu core accumulates f32
                 cxs[c][wbuf, j] = raw[X - 1]
                 tmp_cy = raw[:, Y - 1, :]
                 cy = jnp.where(
@@ -347,7 +411,8 @@ class PallasElasticityOperator:
             ),
             interpret=self.interpret,
         )
-        return inner(u, *self.bands)
+        mats = self.bands if self.core == "banded" else self.dense_mats
+        return inner(u, *mats)
 
 
 def _masked_embedded(W, m1, Zr, Z):
@@ -365,6 +430,7 @@ def make_pallas_elasticity(
     by: int = 8,
     interpret: bool = False,
     zpad: int | None = None,
+    core: str = "banded",
 ) -> PallasElasticityOperator:
     if not (interpret or pallas_eligible(space, bx, by, zpad)):
         raise ValueError(
@@ -373,6 +439,8 @@ def make_pallas_elasticity(
         )
     if space.dim != 3:
         raise ValueError("pallas elasticity kernel is 3D-only")
+    if core not in ("banded", "mxu"):
+        raise ValueError(f"unknown pallas elasticity core: {core!r}")
     p = space.degree
     n = space.mesh.cells_per_axis
     if zpad is None:
@@ -423,6 +491,21 @@ def make_pallas_elasticity(
         to_bands(Gyl, p).reshape(nb, 1, Y, 1),
         to_bands(Gyl.T, p).reshape(nb, 1, Y, 1),
     )
+    dense_mats = None
+    if core == "mxu":
+        bf = jnp.bfloat16
+        bcast = lambda w: np.broadcast_to(w, (X,) + w.shape)  # noqa: E731
+        dense_mats = tuple(
+            jnp.asarray(w, bf)
+            for w in (
+                # z slots host-transposed: dz contracts t's lanes with the
+                # matrix's FIRST axis, i.e. applies W^T (K/M symmetric; the
+                # G/GT slots swap)
+                Kzm.T, Mzm.T, Gzm.T, Gzm,
+                Kxl, Mxl, Gxl, Gxl.T,
+                bcast(Kyl), bcast(Myl), bcast(Gyl), bcast(Gyl.T),
+            )
+        )
     gK, gM = diagonal_1d_factors(space)
     return PallasElasticityOperator(
         dim=space.dim,
@@ -434,7 +517,10 @@ def make_pallas_elasticity(
         zpad=zpad,
         mu=float(mu),
         lam=float(lam),
-        bands=tuple(jnp.asarray(v, dtype) for v in bands),
+        core=core,
+        bands=(tuple(jnp.asarray(v, dtype) for v in bands)
+               if core == "banded" else None),
+        dense_mats=dense_mats,
         mask1=(jnp.asarray(m1, dtype),) * space.dim,
         dK1=(jnp.asarray(gK, dtype),) * space.dim,
         dM1=(jnp.asarray(gM, dtype),) * space.dim,
@@ -448,7 +534,7 @@ _ELASTICITY_OK_MEMO: dict = {}
 
 
 def elasticity_compile_ok(op: PallasElasticityOperator) -> bool:
-    key = (op.n, op.degree, op.bx, op.by, op.zpad)
+    key = (op.n, op.degree, op.bx, op.by, op.zpad, op.core)
     if key not in _ELASTICITY_OK_MEMO:
         _ELASTICITY_OK_MEMO[key] = _probe(op)
     return _ELASTICITY_OK_MEMO[key]

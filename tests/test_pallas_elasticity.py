@@ -57,6 +57,52 @@ def test_pallas_elasticity_inv_diag_matches_assembled():
     assert np.max(np.abs(dref - got)) / np.max(np.abs(dref)) < 1e-12
 
 
+def test_pallas_elasticity_mxu_core_is_bf16_grade():
+    sp = FESpace(HyperCubeMesh(3, 2), 2)
+    mu, lam = 0.7, 1.3
+    ref = make_elasticity(sp, jnp.float64, mu=mu, lam=lam, variant="kron")
+    op = make_pallas_elasticity(
+        sp, jnp.float64, mu=mu, lam=lam, bx=4, by=4, interpret=True, zpad=0,
+        core="mxu",
+    )
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(ref.shape))
+    a_ref = np.asarray(ref.apply(u))
+    a_mxu = np.asarray(op.apply(u))
+    err = np.max(np.abs(a_ref - a_mxu)) / np.max(np.abs(a_ref))
+    assert err < 2e-2  # bf16-rounded inputs, f32 accumulation
+
+
+def test_mxu_recurrence_preserves_cg_counts():
+    """Full CG+MG solve with the fine level on the banded pallas operator
+    and the Chebyshev RECURRENCE on the mxu core: iteration count equals
+    the all-kron reference exactly (the scalar-operator smoother-split
+    invariant, CLAUDE.md)."""
+    import dataclasses
+
+    from portable_multigrid_tpu.models.elasticity import ElasticityMultigrid
+    from portable_multigrid_tpu.solvers.vcycle import MGLevel
+
+    ref_model = ElasticityMultigrid(3, 2, 2, dtype=jnp.float64,
+                                    variant="kron")
+    _, ref_stats = ref_model.solve()
+
+    m2 = ElasticityMultigrid(3, 2, 2, dtype=jnp.float64, variant="kron")
+    sp = m2.spaces[-1]
+    pal = make_pallas_elasticity(sp, jnp.float64, bx=4, by=4, interpret=True,
+                                 zpad=0)
+    mxu = make_pallas_elasticity(sp, jnp.float64, bx=4, by=4, interpret=True,
+                                 zpad=0, core="mxu")
+    lv = m2.levels[-1]
+    sm = dataclasses.replace(lv.smoother, op=mxu)
+    m2.levels = m2.levels[:-1] + (
+        MGLevel(op=pal, smoother=sm, transfer=lv.transfer),
+    )
+    _, stats = m2.solve()
+    assert stats.converged
+    assert stats.iterations == ref_stats.iterations
+
+
 def test_pallas_elasticity_smoother_parity():
     """A Chebyshev smoother driven by the pallas operator matches the kron
     one exactly (same apply, same inv_diag => identical recurrence)."""
