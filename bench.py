@@ -24,8 +24,57 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
+
+_T0 = time.time()
+
+# Driver-budget discipline (VERDICT r4 item 1): the round-4 artifact died
+# rc=124 with no JSON because the single line printed only at the very end
+# of a cold run full of remote AOT compiles.  Round-5 rules:
+#   (a) every stage with a number emits a flushed JSON line immediately
+#       (the driver parses the LAST parseable line);
+#   (b) SIGTERM/SIGALRM emit the best-so-far record before dying;
+#   (c) the AOT probe outcomes + eig estimates persist to disk
+#       (utils/probe_cache.py, PMG_EIG_CACHE) so cold runs skip them;
+#   (d) PMG_BENCH_DEADLINE (s, default 900) shrinks the plan as the clock
+#       runs low (fewer repeats, skip the apply stage).
+_BEST: dict | None = None
+
+
+def _elapsed() -> float:
+    return time.time() - _T0
+
+
+def _deadline_left() -> float:
+    return float(os.environ.get("PMG_BENCH_DEADLINE", "900")) - _elapsed()
+
+
+def _emit(record: dict, stage: str) -> None:
+    global _BEST
+    record = dict(record)
+    record["stage"] = stage
+    record["elapsed_s"] = round(_elapsed(), 1)
+    _BEST = record
+    print(json.dumps(record), flush=True)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    if _BEST is not None:
+        rec = dict(_BEST)
+        rec["killed_by"] = signal.Signals(signum).name
+        print(json.dumps(rec), flush=True)
+    else:
+        _emit_error("killed_early",
+                    f"{signal.Signals(signum).name} at {_elapsed():.0f}s "
+                    "before any stage completed")
+    sys.stdout.flush()
+    os._exit(0)
+
+
+for _sig in (signal.SIGTERM, signal.SIGALRM, signal.SIGINT):
+    signal.signal(_sig, _on_signal)
 
 
 def _probe_backend(timeout_s: float) -> tuple[bool, str]:
@@ -109,6 +158,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # disk caches: AOT-probe outcomes + eig estimates (utils/probe_cache),
+    # plus XLA's persistent compilation cache (helps the non-Mosaic
+    # programs; Mosaic custom-call compiles are NOT cached by it —
+    # measured in experiments/r5_batch1.py)
+    os.environ.setdefault("PMG_EIG_CACHE", "1")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/pmg/xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:  # noqa: BLE001 — older jax: cache is best-effort
+        pass
+
     dim = int(os.environ.get("PMG_BENCH_DIM", "3"))
     degree = int(os.environ.get("PMG_BENCH_DEGREE", "4"))
     refinements = int(os.environ.get("PMG_BENCH_REFINEMENTS", "6"))  # 64^3 cells
@@ -164,13 +225,9 @@ def main():
             return op
         return make_laplace(sp, dtype, variant=variant, precision=precision)
 
-    # --- operator apply benchmark -----------------------------------------
-    # random vectors are generated ON DEVICE: host->device uploads through
-    # the tunneled attachment are too slow for 135M-DoF grids
+    # --- V-cycle benchmark FIRST: it is the headline metric, and the
+    # driver's wall clock may not reach the apply stage -------------------
     op = build_op(fine)
-    u = jax.random.normal(jax.random.PRNGKey(0), fine.grid_shape, dtype)
-    t_apply = measure_op(op.apply, u, repeats=3)
-    apply_dofs_per_s = n_dofs / t_apply
 
     # --- V-cycle benchmark: the production preconditioner ------------------
     # (reference smoother setup: source/geometric_multigrid/program.cc:259-287)
@@ -182,44 +239,11 @@ def main():
     # level pairs run the fused pallas transfer kernels
     trimmed = os.environ.get("PMG_BENCH_TRIMMED", "1") == "1"
     use_pallas_tr = os.environ.get("PMG_BENCH_PALLAS_TRANSFER", "1") == "1"
-    use_mega = os.environ.get("PMG_BENCH_MEGA_COARSE", "0") == "1"
 
     def build_mg(use_cheb2: bool):
         levels = []
         prev_trimmed = False
-        cut = 0
-        if use_mega and variant == "auto" and trimmed:
-            # collapse the launch-bound sub-hierarchy below the first
-            # pallas-eligible level into ONE VMEM-resident kernel
-            from portable_multigrid_tpu.ops.pallas_coarse import (
-                CoarseCycleSmoother,
-                make_coarse_cycle,
-            )
-            from portable_multigrid_tpu.ops.pallas_laplace import pallas_eligible
-
-            cut = next(
-                (i for i, sp in enumerate(spaces)
-                 if pallas_eligible(sp) or pallas_eligible(sp, 16, 16)),
-                0,
-            )
-            # cap the tail so the mega TOP level's trimmed extent stays <= 32:
-            # a 64-extent top level (k=5 tail at Q4) makes the Mosaic program
-            # large enough to OOM-SIGKILL the remote compile helper (r3
-            # batch-13); levels between the cap and the first pallas-eligible
-            # level run as plain kron/XLA levels
-            max_ext = int(os.environ.get("PMG_BENCH_MEGA_MAX_EXT", "32"))
-            while cut > 0 and spaces[cut - 1].grid_shape[0] - 1 > max_ext:
-                cut -= 1
-            if cut >= 2:
-                kern = make_coarse_cycle(spaces[:cut], dtype)
-                levels.append(MGLevel(
-                    op=None, smoother=CoarseCycleSmoother(kern=kern),
-                    transfer=None,
-                ))
-                prev_trimmed = True
-            else:
-                cut = 0
-        for i, sp in list(enumerate(spaces))[cut:]:
+        for i, sp in enumerate(spaces):
             lop = build_op(sp)
             # bf16-grade MXU kernel inside the (fully kernel-fused) Chebyshev
             # recurrence only — the exact banded kernel keeps residuals/CG
@@ -243,6 +267,7 @@ def main():
             else:
                 resid3 = None
                 cheb2 = None
+                cheb2r = None
                 if trimmed and fused is not None:
                     from portable_multigrid_tpu.ops.pallas_laplace import (
                         make_resid3_twin,
@@ -257,6 +282,15 @@ def main():
                         )
 
                         cheb2 = make_cheb2_auto(sp, dtype)
+                        if (cheb2 is not None and os.environ.get(
+                                "PMG_CHEB2R", "0") == "1"):
+                            # OPT-IN S=3 "pair + r_out" (fused
+                            # pre-restriction residual): ~one resid3t-
+                            # equivalent faster per V-cycle but the
+                            # recurrence-grade residual costs +1 CG
+                            # iteration (models/poisson.py note) — off by
+                            # default so bench times the path solves use
+                            cheb2r = make_cheb2_auto(sp, dtype, rout=True)
                 sm = make_chebyshev(
                     lop, smoothing_range=15.0, degree=5,
                     eig_cg_n_iterations=10,
@@ -264,6 +298,7 @@ def main():
                     trimmed_io=trimmed and fused is not None,
                     resid3_op=resid3,
                     cheb2_op=cheb2,
+                    cheb2r_op=cheb2r,
                     # production default (models/poisson.py): recurrence r/d
                     # streams stored bf16 — halves the dominant smoother HBM
                     # traffic, CG counts pinned by tests/test_pallas_smoother.py
@@ -306,6 +341,28 @@ def main():
     # the dominant noise source, so average over more cycles
     vc_iters = (1, 3) if refinements >= 7 else (2, 6)
 
+    def result_record(t_vcycle: float, fallback, extra=None) -> dict:
+        v = n_dofs / t_vcycle
+        rec = {
+            "metric": f"vcycle_dof_throughput_{dim}d_q{degree}",
+            "value": v,
+            "unit": "DoF/s",
+            "vs_baseline": v / 1.0e9,  # north-star: 1e9 DoF/s/chip
+            "vcycle_time_s": t_vcycle,
+            "n_dofs": n_dofs,
+            "degree": degree,
+            "dim": dim,
+            "variant": variant,
+            "precision": precision,
+            "dtype": "float32",
+            "device": str(jax.devices()[0]),
+        }
+        if fallback:
+            rec["fallback"] = fallback
+        if extra:
+            rec.update(extra)
+        return rec
+
     # cheb2 (two-step fused recurrence pairs) is the newest kernel family;
     # if its Mosaic compile crashes on this chip/shape, fall back to the
     # TPU-validated single-step fused pipeline rather than losing the
@@ -319,18 +376,29 @@ def main():
     if os.environ.get("PMG_CHEB2_BLOCK"):
         attempts = [(want_cheb2, os.environ["PMG_CHEB2_BLOCK"]),
                     (False, None)] if want_cheb2 else attempts
+    t_vcycle = None
+    reps_done = [0]
     for idx, (use_cheb2, blk) in enumerate(attempts):
         if blk is None:
             os.environ.pop("PMG_CHEB2_BLOCK", None)
         else:
             os.environ["PMG_CHEB2_BLOCK"] = blk
         mg = build_mg(use_cheb2=use_cheb2)
+        if idx > 0:
+            fallback = (f"cheb2_block_{blk}" if use_cheb2
+                        else "cheb2_disabled")
+
+        def on_round(slope, k, fallback=fallback):
+            # a flushed JSON line after EVERY repeat round: the driver
+            # keeps the last parseable line, so a wall-clock kill after
+            # round 1 still banks a real measurement
+            reps_done[0] = k
+            _emit(result_record(slope, fallback, {"repeats": k}), "vcycle")
+            return _deadline_left() < 45  # stop repeating when low
+
         try:
             t_vcycle = measure_op(mg.apply, b, iterations=vc_iters,
-                                  repeats=3)
-            if idx > 0:
-                fallback = (f"cheb2_block_{blk}" if use_cheb2
-                            else "cheb2_disabled")
+                                  repeats=3, progress=on_round)
             break
         except Exception as e:  # noqa: BLE001 — Mosaic crashes surface here
             if idx == len(attempts) - 1:
@@ -338,27 +406,25 @@ def main():
             print(f"V-cycle attempt {idx} (cheb2={use_cheb2}, block={blk}) "
                   f"failed ({type(e).__name__}: {e}); falling back",
                   file=sys.stderr)
-    vcycle_dofs_per_s = n_dofs / t_vcycle
 
-    result = {
-        "metric": f"vcycle_dof_throughput_{dim}d_q{degree}",
-        "value": vcycle_dofs_per_s,
-        "unit": "DoF/s",
-        "vs_baseline": vcycle_dofs_per_s / 1.0e9,  # north-star: 1e9 DoF/s/chip
-        "apply_dofs_per_s": apply_dofs_per_s,
-        "apply_time_s": t_apply,
-        "vcycle_time_s": t_vcycle,
-        "n_dofs": n_dofs,
-        "degree": degree,
-        "dim": dim,
-        "variant": variant,
-        "precision": precision,
-        "dtype": "float32",
-        "device": str(jax.devices()[0]),
-    }
-    if fallback:
-        result["fallback"] = fallback
-    print(json.dumps(result))
+    # --- operator apply (extra fields; deadline-gated) ---------------------
+    # random vectors are generated ON DEVICE: host->device uploads through
+    # the tunneled attachment are too slow for 135M-DoF grids
+    if (_deadline_left() > 120
+            and os.environ.get("PMG_BENCH_APPLY", "1") == "1"):
+        u = jax.random.normal(jax.random.PRNGKey(0), fine.grid_shape, dtype)
+        t_apply = measure_op(op.apply, u, repeats=3)
+        extra = {"repeats": reps_done[0]}
+        if t_apply > 0:
+            # a non-positive slope means the apply is below the tunneled
+            # relay's jitter floor (tiny grids) — omit rather than bank a
+            # negative throughput
+            extra.update(apply_dofs_per_s=n_dofs / t_apply,
+                         apply_time_s=t_apply)
+        _emit(result_record(t_vcycle, fallback, extra), "final")
+    else:
+        _emit(result_record(t_vcycle, fallback,
+                            {"repeats": reps_done[0]}), "final")
 
 
 if __name__ == "__main__":

@@ -7,8 +7,9 @@ rest, r4_batch7 pattern):
     kernel per level, kron fallback) and report which path each level got;
   * isolated fine-level apply throughput;
   * full production V-cycle throughput;
-  * one real solve for the CG iteration count (golden-parity signal vs the
-    kron counts: r=5 is 4 iterations in the f32 golden table family).
+  * one real solve for the CG iteration count (parity signal vs the kron
+    path's pinned count: 6 CG iterations at r=5, PERFORMANCE.md round-4 —
+    golden_convergence.json has no elasticity rows).
 
 Usage: python experiments/r4_batch13.py r5 | r6 | r6_16 | r5_kron ...
 Run with PYTHONPATH=/root/repo:/root/.axon_site on the tunneled TPU.

@@ -84,6 +84,7 @@ def _build_level(
     else:
         resid3 = None
         cheb2 = None
+        cheb2r = None
         if fused is not None:
             from ..ops.pallas_laplace import make_resid3_twin
 
@@ -95,6 +96,18 @@ def _build_level(
                 from ..ops.pallas_cheb2 import make_cheb2_auto
 
                 cheb2 = make_cheb2_auto(space, dtype)
+                if cheb2 is not None and os.environ.get(
+                        "PMG_CHEB2R", "0") == "1":
+                    # OPT-IN S=3 "pair + r_out": the pre-restriction
+                    # residual rides the last pre-smooth pair (one full
+                    # residual1t HBM pass disappears), but the residual is
+                    # then recurrence-grade — accumulated bf16-A errors
+                    # (~0.3 %/pair at residual scale) cost ONE extra CG
+                    # iteration at production grade (measured,
+                    # tests/test_pallas_cheb2.py::
+                    # test_cheb2lr_costs_at_most_one_iteration), so the
+                    # default stays on the exact banded residual
+                    cheb2r = make_cheb2_auto(space, dtype, rout=True)
         smoother = make_chebyshev(
             op, smoothing_range=15.0, degree=5, eig_cg_n_iterations=10,
             fused_smoother_op=fused,
@@ -107,6 +120,7 @@ def _build_level(
             resid3_op=resid3,
             state_dtype="bf16" if fused is not None else "f32",
             cheb2_op=cheb2,
+            cheb2r_op=cheb2r,
         )
     return op, smoother
 

@@ -57,14 +57,16 @@ def _roundup8(v: int) -> int:
 
 
 def cheb2_eligible(space: FESpace, bx: int, by: int,
-                   zpad: int | None = None) -> bool:
+                   zpad: int | None = None, n_stencils: int = 2) -> bool:
     """Pallas eligibility plus the window-geometry constraints: the halo'd
     y windows must start 8-aligned (block rows >= the rounded halo) and the
-    x halo must fit inside one neighbouring block."""
+    x halo must fit inside one neighbouring block.  ``n_stencils=3`` is the
+    rout ("pair + r_out") geometry — one extra stencil reach per side."""
     if not pallas_eligible(space, bx, by, zpad):
         return False
     p = space.degree
-    return bx * p >= 2 * p and by * p >= _roundup8(2 * p)
+    return (bx * p >= n_stencils * p
+            and by * p >= _roundup8(n_stencils * p))
 
 
 def _win_stack(G: np.ndarray, nb: int, blk: int, row_off: int, rows: int,
@@ -115,6 +117,16 @@ class Cheb2Kernel:
                     the r-stream read entirely; scal carries theta in
                     position 4.
       * "cheb2f0l": ditto, recurrence ends with the pair (degree 3).
+      * "cheb2lr":  recurrence-ENDING pair that ALSO emits the next
+                    V-cycle residual (``rout=True`` kernels only): a THIRD
+                    stencil application r_out = r2 - A d2 rides the same
+                    HBM pass, so the pre-restriction ``residual1t`` kernel
+                    disappears entirely (VERDICT r4 item 2).  The residual
+                    is built INCREMENTALLY from recurrence-scale state
+                    (r_out = rhs - A x2 algebraically, but never formed by
+                    the operator-norm-scale cancellation that makes naive
+                    bf16 residuals unusable — CLAUDE.md round-2 lesson);
+                    outputs (x2 f32, r_out f32).
     """
 
     degree: int = static_field()
@@ -146,8 +158,12 @@ class Cheb2Kernel:
     # kernel for serial, 1D-slab and 2D-pencil runs (reference parity:
     # include/operators/portable_laplace_operator.h:557-719).
     yext: bool = static_field(default=False)
-    mats: tuple = None  # (Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2K.., S2M..)
-    facs: tuple = None  # (f1xK, f1xM, f1yK, f1yM, f2xK.., f2yM.., fzK, fzM)
+    # rout=True: the S=3 ("pair + r_out") geometry — mats carry a third
+    # stage stack and the windows one extra stencil reach; such kernels run
+    # ONLY mode "cheb2lr"
+    rout: bool = static_field(default=False)
+    mats: tuple = None  # (Kz, Mz, then per-stage (Kx, Mx, Ky, My) x S)
+    facs: tuple = None  # (f1xK, f1xM, f1yK, f1yM, fzK, fzM)
 
     def steps2(self, d, r, x, scal, mode: str = "cheb2",
                sdtype: str = "f32"):
@@ -158,18 +174,25 @@ class Cheb2Kernel:
         nbi, nbj = n0 // bx, n1 // by
         N0t, N1t = n0 * p, n1 * p
         Z = n2 * p + self.zpad
-        Hd = _roundup8(2 * p)  # d-window y halo (8-aligned DMA starts)
-        Hr = _roundup8(p)
-        Wx, Wy = bxp + 4 * p, byp + 2 * Hd  # d window (x halo exact: outer
-        Rx, Ry = bxp + 2 * p, byp + 2 * Hr  # dim slices are alignment-free)
-        E1x, E1y = bxp + 2 * p, byp + 2 * p  # step-1 extended region
+        rout_mode = mode == "cheb2lr"
+        assert rout_mode == self.rout, (
+            "mode cheb2lr requires a rout=True kernel (and vice versa)")
+        S = 3 if self.rout else 2  # chained stencil applications per pass
+        e1, e2 = (S - 1) * p, (S - 2) * p  # stage-1/2 region extensions
+        Hd = _roundup8(S * p)  # d-window y halo (8-aligned DMA starts)
+        Hr = _roundup8(e1)
+        Wx, Wy = bxp + 2 * S * p, byp + 2 * Hd  # d window (x halo exact:
+        Rx, Ry = bxp + 2 * e1, byp + 2 * Hr  # outer dim slices align-free)
+        E1x, E1y = bxp + 2 * e1, byp + 2 * e1  # stage-1 extended region
+        E2x, E2y = bxp + 2 * e2, byp + 2 * e2  # stage-2 region
         f32 = jnp.float32
         sd = jnp.bfloat16 if sdtype == "bf16" else f32
-        has_x = mode in ("cheb2", "cheb2l")
+        has_x = mode in ("cheb2", "cheb2l", "cheb2lr")
         from_rhs = mode in ("cheb2f0", "cheb2f0l")
         has_r = not from_rhs
         last = mode in ("cheb2l", "chebd2l", "cheb2f0l")
-        out_dtypes = (f32,) if last else (sd, sd, f32)
+        out_dtypes = ((f32, f32) if rout_mode
+                      else (f32,) if last else (sd, sd, f32))
         n_outs = len(out_dtypes)
         ddt = d.dtype
         rdt = r.dtype if has_r else ddt
@@ -181,8 +204,13 @@ class Cheb2Kernel:
             if has_r:
                 r_hbm = refs[0]
             refs = refs[1 if has_r else 0:]
-            (Kz_r, Mz_r, s1kx, s1mx, s1ky, s1my,
-             s2kx, s2mx, s2ky, s2my) = refs[:n_mats]
+            if self.rout:
+                (Kz_r, Mz_r, s1kx, s1mx, s1ky, s1my,
+                 s2kx, s2mx, s2ky, s2my,
+                 s3kx, s3mx, s3ky, s3my) = refs[:n_mats]
+            else:
+                (Kz_r, Mz_r, s1kx, s1mx, s1ky, s1my,
+                 s2kx, s2mx, s2ky, s2my) = refs[:n_mats]
             pos = n_mats
             (f0xk, f0xm, f0yk, f0ym, fzk, fzm) = refs[pos: pos + n_facs]
             pos += n_facs
@@ -277,12 +305,12 @@ class Cheb2Kernel:
                     pl.when(jj == nbj - 1)(lambda: zy(W1 - hy, hy))
 
             def start_fetch(slot, ii, jj):
-                zero_strips(slot, ii, jj, slab_d, 2 * p, Hd, Wx, Wy, ddt)
-                fetch(slot, ii, jj, slab_d, d_hbm, 2 * p, Hd, Wx, Wy, 0,
+                zero_strips(slot, ii, jj, slab_d, S * p, Hd, Wx, Wy, ddt)
+                fetch(slot, ii, jj, slab_d, d_hbm, S * p, Hd, Wx, Wy, 0,
                       True)
                 if has_r:
-                    zero_strips(slot, ii, jj, slab_r, p, Hr, Rx, Ry, rdt)
-                    fetch(slot, ii, jj, slab_r, r_hbm, p, Hr, Rx, Ry, 2,
+                    zero_strips(slot, ii, jj, slab_r, e1, Hr, Rx, Ry, rdt)
+                    fetch(slot, ii, jj, slab_r, r_hbm, e1, Hr, Rx, Ry, 2,
                           True)
 
             @pl.when(k == 0)
@@ -295,15 +323,15 @@ class Cheb2Kernel:
                 start_fetch(1 - islot, k1 // nbj,
                             jax.lax.rem(k1, jnp.int32(nbj)))
 
-            fetch(islot, i, j, slab_d, d_hbm, 2 * p, Hd, Wx, Wy, 0, False)
+            fetch(islot, i, j, slab_d, d_hbm, S * p, Hd, Wx, Wy, 0, False)
             if has_r:
-                fetch(islot, i, j, slab_r, r_hbm, p, Hr, Rx, Ry, 2, False)
+                fetch(islot, i, j, slab_r, r_hbm, e1, Hr, Rx, Ry, 2, False)
 
             # ---- contraction engine (bf16 MXU, f32 accumulation) ----------
             bf16 = jnp.bfloat16
             # interpret mode (CPU) cannot execute some bf16 x bf16 dot
             # shapes ("DotThunk"): run the bf16-ROUNDED values through f32
-            # dots — identical products (pallas_coarse.py pattern)
+            # dots — identical products
             up = ((lambda v: v.astype(f32)) if self.interpret
                   else (lambda v: v))
             cvt = ((lambda t: t.astype(f32)) if self.exact
@@ -343,41 +371,53 @@ class Cheb2Kernel:
             # full d-window extent; step regions slice it
             diagw = (f0xk[0] * f0ym[0] * fz_m
                      + f0xm[0] * (f0yk[0] * fz_m + f0ym[0] * fz_k))
-            diag1 = diagw[p: p + E1x, Hd - p: Hd - p + E1y, :]
-            diag2 = diag1[p: p + bxp, p: p + byp, :]
+            diag1 = diagw[p: p + E1x, Hd - e1: Hd - e1 + E1y, :]
+            diag2 = diag1[p: p + E2x, p: p + E2y, :]
 
-            # ---- step one on the +/-p extended region ---------------------
+            # ---- step one on the +/-e1 extended region ---------------------
             if from_rhs:
                 # preconditioner entry: the window stream is b; the kernel
                 # derives d0 = b / (theta diag), r0 = b, x0 = d0
                 theta = scal_r[0, 4]
                 d0w = slab_d[islot].astype(f32) / (theta * diagw)
                 raw1 = apply_op(d0w, s1kx[0], s1mx[0], s1ky[0], s1my[0])
-                r1 = slab_d[islot, p: p + E1x, Hd - p: Hd - p + E1y,
+                r1 = slab_d[islot, p: p + E1x, Hd - e1: Hd - e1 + E1y,
                             :].astype(f32) - raw1
-                dE1 = d0w[p: p + E1x, Hd - p: Hd - p + E1y, :]
+                dE1 = d0w[p: p + E1x, Hd - e1: Hd - e1 + E1y, :]
             else:
                 raw1 = apply_op(slab_d[islot], s1kx[0], s1mx[0], s1ky[0],
                                 s1my[0])
-                r1 = slab_r[islot, 0:E1x, Hr - p: Hr - p + E1y, :].astype(
+                r1 = slab_r[islot, 0:E1x, Hr - e1: Hr - e1 + E1y, :].astype(
                     f32) - raw1
-                dE1 = slab_d[islot, p: p + E1x, Hd - p: Hd - p + E1y,
+                dE1 = slab_d[islot, p: p + E1x, Hd - e1: Hd - e1 + E1y,
                              :].astype(f32)
             d1 = c0a * dE1 + (c1a / diag1) * r1
 
-            # ---- step two, exact on the interior block --------------------
+            # ---- step two on the +/-e2 region (interior when S == 2) ------
             raw2 = apply_op(d1, s2kx[0], s2mx[0], s2ky[0], s2my[0])
-            r1i = r1[p: p + bxp, p: p + byp, :]
-            d1i = d1[p: p + bxp, p: p + byp, :]
+            r1i = r1[p: p + E2x, p: p + E2y, :]
+            d1i = d1[p: p + E2x, p: p + E2y, :]
             r2 = r1i - raw2
             d2 = c0b * d1i + (c1b / diag2) * r2
             if has_x:
                 xb = x_r[...]
             elif from_rhs:
-                xb = d0w[2 * p: 2 * p + bxp, Hd: Hd + byp, :]
+                xb = d0w[S * p: S * p + bxp, Hd: Hd + byp, :]
             else:
-                xb = slab_d[islot, 2 * p: 2 * p + bxp,
+                xb = slab_d[islot, S * p: S * p + bxp,
                             Hd: Hd + byp, :].astype(f32)
+            if rout_mode:
+                # ---- stage three: the next V-cycle residual, exact on the
+                # interior block — r_out = r2 - A d2 = rhs - A x2, built
+                # incrementally at recurrence-state scale (no
+                # operator-norm-scale cancellation)
+                raw3 = apply_op(d2, s3kx[0], s3mx[0], s3ky[0], s3my[0])
+                r_out = r2[p: p + bxp, p: p + byp, :] - raw3
+                x2 = (xb + d1[2 * p: 2 * p + bxp, 2 * p: 2 * p + byp, :]
+                      + d2[p: p + bxp, p: p + byp, :])
+                out_refs[0][...] = x2
+                out_refs[1][...] = r_out
+                return
             x2 = xb + d1i + d2
             if last:
                 out_refs[0][...] = x2
@@ -396,7 +436,8 @@ class Cheb2Kernel:
             return pl.BlockSpec((1,) + shape[1:], idx,
                                 memory_space=pltpu.VMEM)
 
-        (Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2Kx, S2Mx, S2Ky, S2My) = self.mats
+        Kz, Mz = self.mats[0], self.mats[1]
+        stage_mats = self.mats[2:]  # (Kx, Mx, Ky, My) per stage
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # d (or b)
         operands = [d]
         if has_r:
@@ -405,13 +446,12 @@ class Cheb2Kernel:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Kz
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Mz
-            bspec(S1Kx.shape, "i"), bspec(S1Mx.shape, "i"),
-            bspec(S1Ky.shape, "j"), bspec(S1My.shape, "j"),
-            bspec(S2Kx.shape, "i"), bspec(S2Mx.shape, "i"),
-            bspec(S2Ky.shape, "j"), bspec(S2My.shape, "j"),
         ]
-        operands += [Kz, Mz, S1Kx, S1Mx, S1Ky, S1My, S2Kx, S2Mx,
-                     S2Ky, S2My]
+        for s in range(0, len(stage_mats), 4):
+            kxm, mxm, kym, mym = stage_mats[s: s + 4]
+            in_specs += [bspec(kxm.shape, "i"), bspec(mxm.shape, "i"),
+                         bspec(kym.shape, "j"), bspec(mym.shape, "j")]
+        operands += [Kz, Mz, *stage_mats]
         (f0xK, f0xM, f0yK, f0yM, fzK, fzM) = self.facs
         for f in (f0xK, f0xM):
             in_specs.append(bspec(f.shape, "i"))
@@ -459,9 +499,16 @@ def make_cheb2(
     zpad: int | None = None,
     interpret: bool = False,
     exact: bool = False,
+    rout: bool = False,
 ) -> Cheb2Kernel:
-    """Build the two-step kernel for a pallas-eligible level."""
-    if not (interpret or cheb2_eligible(space, bx, by, zpad)):
+    """Build the two-step kernel for a pallas-eligible level.
+
+    ``rout=True`` builds the S=3 "pair + r_out" kernel (mode "cheb2lr"
+    only): windows carry one extra stencil reach and a third per-stage
+    matrix stack computes the trailing residual application."""
+    S = 3 if rout else 2
+    if not (interpret or cheb2_eligible(space, bx, by, zpad,
+                                        n_stencils=S)):
         raise ValueError("level not eligible for the cheb2 kernel")
     p = space.degree
     n = space.mesh.cells_per_axis
@@ -471,9 +518,11 @@ def make_cheb2(
     nbi, nbj = n // bx, n // by
     Nt = n * p
     Z = Nt + zpad
-    Hd = _roundup8(2 * p)
-    Wx, Wy = bxp + 4 * p, byp + 2 * Hd
-    E1x, E1y = bxp + 2 * p, byp + 2 * p
+    e1, e2 = (S - 1) * p, (S - 2) * p
+    Hd = _roundup8(S * p)
+    Wx, Wy = bxp + 2 * S * p, byp + 2 * Hd
+    E1x, E1y = bxp + 2 * e1, byp + 2 * e1
+    E2x, E2y = bxp + 2 * e2, byp + 2 * e2
 
     K1, M1 = assembled_1d_matrices(space)
     m1 = space.free_mask_1d()
@@ -482,20 +531,28 @@ def make_cheb2(
     Kzm, Mzm = _masked_z_matrices(K1, M1, m1, Nt, Z)
 
     mdt = jnp.float32 if exact else jnp.bfloat16
-    mats = (
+    mats = [
         jnp.asarray(Kzm, mdt),
         jnp.asarray(Mzm, mdt),
-        # step 1: rows = +/-p extended region, cols = the d window
-        jnp.asarray(_win_stack(Kg, nbi, bxp, p, E1x, 2 * p, Wx), mdt),
-        jnp.asarray(_win_stack(Mg, nbi, bxp, p, E1x, 2 * p, Wx), mdt),
-        jnp.asarray(_win_stack(Kg, nbj, byp, p, E1y, Hd, Wy), mdt),
-        jnp.asarray(_win_stack(Mg, nbj, byp, p, E1y, Hd, Wy), mdt),
-        # step 2: rows = interior block, cols = the step-1 region
-        jnp.asarray(_win_stack(Kg, nbi, bxp, 0, bxp, p, E1x), mdt),
-        jnp.asarray(_win_stack(Mg, nbi, bxp, 0, bxp, p, E1x), mdt),
-        jnp.asarray(_win_stack(Kg, nbj, byp, 0, byp, p, E1y), mdt),
-        jnp.asarray(_win_stack(Mg, nbj, byp, 0, byp, p, E1y), mdt),
-    )
+        # stage 1: rows = +/-e1 extended region, cols = the d window
+        jnp.asarray(_win_stack(Kg, nbi, bxp, e1, E1x, S * p, Wx), mdt),
+        jnp.asarray(_win_stack(Mg, nbi, bxp, e1, E1x, S * p, Wx), mdt),
+        jnp.asarray(_win_stack(Kg, nbj, byp, e1, E1y, Hd, Wy), mdt),
+        jnp.asarray(_win_stack(Mg, nbj, byp, e1, E1y, Hd, Wy), mdt),
+        # stage 2: rows = +/-e2 region, cols = the stage-1 region
+        jnp.asarray(_win_stack(Kg, nbi, bxp, e2, E2x, e1, E1x), mdt),
+        jnp.asarray(_win_stack(Mg, nbi, bxp, e2, E2x, e1, E1x), mdt),
+        jnp.asarray(_win_stack(Kg, nbj, byp, e2, E2y, e1, E1y), mdt),
+        jnp.asarray(_win_stack(Mg, nbj, byp, e2, E2y, e1, E1y), mdt),
+    ]
+    if rout:
+        # stage 3 (residual): rows = interior block, cols = stage-2 region
+        mats += [
+            jnp.asarray(_win_stack(Kg, nbi, bxp, 0, bxp, e2, E2x), mdt),
+            jnp.asarray(_win_stack(Mg, nbi, bxp, 0, bxp, e2, E2x), mdt),
+            jnp.asarray(_win_stack(Kg, nbj, byp, 0, byp, e2, E2y), mdt),
+            jnp.asarray(_win_stack(Mg, nbj, byp, 0, byp, e2, E2y), mdt),
+        ]
     gK, gM = diagonal_1d_factors(space)
     zdK = np.asarray(gK[:Nt], np.float64)
     zdM = np.asarray(gM[:Nt], np.float64)
@@ -513,7 +570,7 @@ def make_cheb2(
 
     # diagonal factors at the full d-window extent; step regions are slices
     facs = (
-        xs(gK, 2 * p, Wx), xs(gM, 2 * p, Wx),
+        xs(gK, S * p, Wx), xs(gM, S * p, Wx),
         ys(gK, Hd, Wy), ys(gM, Hd, Wy),
         jnp.asarray(zdK.reshape(1, 1, -1), dtype),
         jnp.asarray(zdM.reshape(1, 1, -1), dtype),
@@ -526,19 +583,22 @@ def make_cheb2(
         zpad=zpad,
         interpret=interpret,
         exact=exact,
-        mats=mats,
+        rout=rout,
+        mats=tuple(mats),
         facs=facs,
     )
 
 
-def cheb2_vmem_ok(bx: int, by: int, p: int, Z: int) -> bool:
+def cheb2_vmem_ok(bx: int, by: int, p: int, Z: int,
+                  n_stencils: int = 2) -> bool:
     """Heuristic VMEM budget for one (bx, by) block configuration."""
+    S = n_stencils
     bxp, byp = bx * p, by * p
-    Hd = _roundup8(2 * p)
-    Hr = _roundup8(p)
-    Wx, Wy = bxp + 4 * p, byp + 2 * Hd
-    Rx, Ry = bxp + 2 * p, byp + 2 * Hr
-    E1x, E1y = bxp + 2 * p, byp + 2 * p
+    Hd = _roundup8(S * p)
+    Hr = _roundup8((S - 1) * p)
+    Wx, Wy = bxp + 2 * S * p, byp + 2 * Hd
+    Rx, Ry = bxp + 2 * (S - 1) * p, byp + 2 * Hr
+    E1x, E1y = bxp + 2 * (S - 1) * p, byp + 2 * (S - 1) * p
     est = 4 * (
         2 * Wx * Wy * Z // 2       # d slabs (bf16)
         + 2 * Rx * Ry * Z // 2     # r slabs (bf16)
@@ -571,10 +631,18 @@ def cheb2_compile_ok(kern: Cheb2Kernel, sdtype: str = "bf16",
     kill the compile.  This probe turns that crash into a recoverable
     signal: all ``modes`` compile in ONE jitted program (one remote-compile
     round trip), nothing executes."""
+    if kern.interpret:
+        return True  # interpret mode never reaches Mosaic — skip the memos
     key = (kern.n, kern.degree, kern.bx, kern.by, kern.zpad, sdtype,
            tuple(modes))
     if key not in _COMPILE_OK_MEMO:
-        _COMPILE_OK_MEMO[key] = _compile_probe(kern, sdtype, modes)
+        from ..utils import probe_cache
+
+        hit = probe_cache.get("cheb2_ok", key)
+        if hit is None:
+            hit = _compile_probe(kern, sdtype, modes)
+            probe_cache.put("cheb2_ok", key, hit)
+        _COMPILE_OK_MEMO[key] = hit
     return _COMPILE_OK_MEMO[key]
 
 
@@ -622,7 +690,8 @@ def _compile_probe(kern: Cheb2Kernel, sdtype: str, modes: tuple) -> bool:
 
 
 def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
-                    interpret: bool = False, validate: bool | None = None):
+                    interpret: bool = False, validate: bool | None = None,
+                    rout: bool = False):
     """Block-size auto-pick with the full Mosaic-crash fallback ladder;
     None if no candidate survives (callers then run the single-step fused
     pipeline — FusedChebyshev with op_cheb2=None — which degrades further
@@ -634,6 +703,10 @@ def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
     (:func:`cheb2_compile_ok`), so the PMG_CHEB2=1 production default can
     never die on an empirically crash-listed shape (VERDICT r3 item 4).
 
+    ``rout=True`` builds the S=3 "pair + r_out" kernel (the fused
+    pre-restriction residual) — larger windows, so the probed candidate
+    list is the small-block half of the ladder.
+
     PMG_CHEB2_BLOCK="BXxBY" (e.g. "8x8") restricts the candidate list to a
     single block shape; PMG_CHEB2_SKIP_BLOCKS="16x8,16x16" removes shapes
     (deployment escape hatches).  PMG_CHEB2_VALIDATE=0 disables the compile
@@ -644,12 +717,18 @@ def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
     p = space.degree
     n = space.mesh.cells_per_axis
     Z = n * p + lane_pad(space)
+    S = 3 if rout else 2
     # >256 lanes: the 2026-08 toolchain lifted the round-3 16x16 Mosaic
     # crash, and 16x16 pairs measure FASTEST at the r=7 512-lane fine
     # level (11.66 vs 13.08 ms for 8x8, experiments/r4_batch5.py) — put it
     # first; the compile probe below still guards unproven shapes.
     cands = [(16, 8), (8, 8), (16, 16)] if Z <= 256 else [
         (16, 16), (16, 8), (8, 8)]
+    if rout:
+        # the S=3 windows carry ~1.5x the slab VMEM: lead with the proven
+        # smaller shapes at wide lanes (r5_batch2 measurements)
+        cands = [(16, 8), (8, 8), (16, 16)] if Z <= 256 else [
+            (16, 8), (8, 8), (16, 16)]
     forced = os.environ.get("PMG_CHEB2_BLOCK")
     if forced:
         bx, by = (int(v) for v in forced.lower().split("x"))
@@ -670,16 +749,16 @@ def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
             # interpret mode has no Mosaic lane constraint: keep only the
             # block-divisibility + window-geometry requirements (lets the
             # ladder run on the tiny CPU test grids)
-            return (n % bx == 0 and n % by == 0 and bx * p >= 2 * p
-                    and by * p >= _roundup8(2 * p))
-        return cheb2_eligible(space, bx, by)
+            return (n % bx == 0 and n % by == 0 and bx * p >= S * p
+                    and by * p >= _roundup8(S * p))
+        return cheb2_eligible(space, bx, by, n_stencils=S)
 
     for bx, by in cands:
         if (bx, by) in skip:
             continue
         if not ok(bx, by):
             continue
-        if not cheb2_vmem_ok(bx, by, p, Z) and not validate:
+        if not cheb2_vmem_ok(bx, by, p, Z, n_stencils=S) and not validate:
             # the static VMEM estimate is conservative (it counts every
             # step intermediate as simultaneously live): when a real AOT
             # compile probe runs, Mosaic's own scoped-allocation check is
@@ -687,8 +766,10 @@ def make_cheb2_auto(space: FESpace, dtype=jnp.float32,
             # compiles and runs fastest, experiments/r4_batch5.py); without
             # a probe (interpret/CPU or PMG_CHEB2_VALIDATE=0) stay safe.
             continue
-        kern = make_cheb2(space, dtype, bx=bx, by=by, interpret=interpret)
-        if validate and not cheb2_compile_ok(kern):
+        kern = make_cheb2(space, dtype, bx=bx, by=by, interpret=interpret,
+                          rout=rout)
+        if validate and not cheb2_compile_ok(
+                kern, modes=(("cheb2lr",) if rout else _PRODUCTION_MODES)):
             continue
         return kern
     return None

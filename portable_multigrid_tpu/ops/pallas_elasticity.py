@@ -534,15 +534,21 @@ _ELASTICITY_OK_MEMO: dict = {}
 
 
 def elasticity_compile_ok(op: PallasElasticityOperator) -> bool:
+    if op.interpret:
+        return True  # interpret mode never reaches Mosaic — skip the memos
     key = (op.n, op.degree, op.bx, op.by, op.zpad, op.core)
     if key not in _ELASTICITY_OK_MEMO:
-        _ELASTICITY_OK_MEMO[key] = _probe(op)
+        from ..utils import probe_cache
+
+        hit = probe_cache.get("elasticity_ok", key)
+        if hit is None:
+            hit = _probe(op)
+            probe_cache.put("elasticity_ok", key, hit)
+        _ELASTICITY_OK_MEMO[key] = hit
     return _ELASTICITY_OK_MEMO[key]
 
 
 def _probe(op) -> bool:
-    if op.interpret:
-        return True
     arg = jax.ShapeDtypeStruct(op.shape, jnp.float32)
     try:
         jax.jit(lambda u: op.apply(u).ravel()[0]).lower(arg).compile()
@@ -552,8 +558,9 @@ def _probe(op) -> bool:
 
         print(
             f"pallas elasticity compile probe failed: block={op.bx}x{op.by} "
-            f"n={op.n} p={op.degree} zpad={op.zpad}: {type(e).__name__}; "
-            "degrading", file=sys.stderr,
+            f"n={op.n} p={op.degree} zpad={op.zpad}: {type(e).__name__}: "
+            f"{str(e).splitlines()[0][:200] if str(e) else ''}; degrading",
+            file=sys.stderr,
         )
         return False
 

@@ -1127,10 +1127,18 @@ def laplace_compile_ok(op: "PallasLaplaceOperator",
     False when the Mosaic compile crashes (empirical envelope, CLAUDE.md
     round-3 rules).  All modes compile in ONE jitted program (one
     remote-compile round trip); nothing executes."""
+    if op.interpret:
+        return True  # interpret mode never reaches Mosaic — skip the memos
     key = (op.n, op.degree, op.bx, op.by, op.core, op.zpad, op.xmask,
            op.ymask, sdtype, tuple(modes))
     if key not in _LAPLACE_OK_MEMO:
-        _LAPLACE_OK_MEMO[key] = _laplace_compile_probe(op, modes, sdtype)
+        from ..utils import probe_cache
+
+        hit = probe_cache.get("laplace_ok", key)
+        if hit is None:
+            hit = _laplace_compile_probe(op, modes, sdtype)
+            probe_cache.put("laplace_ok", key, hit)
+        _LAPLACE_OK_MEMO[key] = hit
     return _LAPLACE_OK_MEMO[key]
 
 

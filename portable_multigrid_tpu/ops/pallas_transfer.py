@@ -363,10 +363,18 @@ _TRANSFER_OK_MEMO: dict = {}
 
 
 def transfer_compile_ok(tr: "PallasTransfer") -> bool:
+    if tr.interpret:
+        return True  # interpret mode never reaches Mosaic — skip the memos
     key = (tr.shape_f, tr.shape_c, tr.bf, tr.bc, tr.win_r, tr.win_p,
            tr.coarse_trimmed)
     if key not in _TRANSFER_OK_MEMO:
-        _TRANSFER_OK_MEMO[key] = _transfer_compile_probe(tr)
+        from ..utils import probe_cache
+
+        hit = probe_cache.get("transfer_ok", key)
+        if hit is None:
+            hit = _transfer_compile_probe(tr)
+            probe_cache.put("transfer_ok", key, hit)
+        _TRANSFER_OK_MEMO[key] = hit
     return _TRANSFER_OK_MEMO[key]
 
 

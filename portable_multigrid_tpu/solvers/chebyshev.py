@@ -133,6 +133,15 @@ class FusedChebyshev:
     # in-VMEM intermediate state is f32 regardless of state_dtype, so a
     # paired recurrence is numerically at least as accurate as single steps.
     op_cheb2: object = None
+    # optional S=3 "pair + r_out" kernel (rout=True Cheb2Kernel): the
+    # V-cycle's pre-restriction residual rides the recurrence's final pair
+    # (mode "cheb2lr"), killing the separate residual1t HBM pass — see
+    # smooth_and_residual().  The residual is formed INCREMENTALLY
+    # (r_out = r_n - A d_n at recurrence-state scale), never by the
+    # operator-norm-scale cancellation that makes naive bf16 residuals
+    # unusable (CLAUDE.md round-2 lesson); CG-count parity is pinned by
+    # tests/test_pallas_cheb2.py.
+    op_cheb2r: object = None
     theta: jnp.ndarray = None
     delta: jnp.ndarray = None
 
@@ -307,6 +316,61 @@ class FusedChebyshev:
         x = self._steps(r0, d0, d0)
         return u + self._pad_full(x)
 
+    def _steps_with_residual(self, r, d, x):
+        """The _steps unrolled-pair loop, but the FINAL pair runs the
+        op_cheb2r kernel in mode "cheb2lr", returning (x_final, residual)
+        where residual = rhs - A x_final exactly (to smoother arithmetic
+        grade).  Callers guarantee: degree-1 even and >= 2, op_cheb2 wired
+        for any mid pairs."""
+        sigma1 = self.theta / self.delta
+        sdt = self.state_dtype
+        if sdt == "bf16":
+            r = r.astype(jnp.bfloat16)
+            d = d.astype(jnp.bfloat16)
+        n = self.degree - 1
+        rho = 1.0 / sigma1
+        k = 0
+        while k < n - 2:
+            rho1 = 1.0 / (2.0 * sigma1 - rho)
+            rho2 = 1.0 / (2.0 * sigma1 - rho1)
+            scal = jnp.stack([
+                rho1 * rho, 2.0 * rho1 / self.delta,
+                rho2 * rho1, 2.0 * rho2 / self.delta,
+            ]).astype(jnp.float32)
+            r, d, x = self.op_cheb2.steps2(d, r, x, scal, "cheb2",
+                                           sdtype=sdt)
+            rho = rho2
+            k += 2
+        rho1 = 1.0 / (2.0 * sigma1 - rho)
+        rho2 = 1.0 / (2.0 * sigma1 - rho1)
+        scal = jnp.stack([
+            rho1 * rho, 2.0 * rho1 / self.delta,
+            rho2 * rho1, 2.0 * rho2 / self.delta,
+        ]).astype(jnp.float32)
+        x2, r_out = self.op_cheb2r.steps2(d, r, x, scal, "cheb2lr",
+                                          sdtype=sdt)
+        return x2, r_out
+
+    def smooth_and_residual(self, u, rhs):
+        """(u', rhs - A u') — the V-cycle's FINAL pre-smooth step and the
+        pre-restriction residual in one pass chain: when the op_cheb2r
+        kernel is wired, the residual rides the recurrence's last pair
+        (one whole residual1t HBM pass disappears, VERDICT r4 item 2);
+        falls back to smooth() + residual() otherwise."""
+        n = self.degree - 1
+        fused = (self.trimmed_io and self.op_cheb2r is not None
+                 and self.steps_mode == "unroll" and n >= 2 and n % 2 == 0
+                 and (n == 2 or self.op_cheb2 is not None))
+        if not fused:
+            un = self.smooth(u, rhs)
+            return un, self.residual(un, rhs)
+        scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
+        rop = self.op_resid3 if self.op_resid3 is not None else self.op
+        r0, d0, x0 = rop._run(
+            "residual3t", u, (rhs,), scal, sdtype=self.state_dtype
+        )
+        return self._steps_with_residual(r0, d0, x0)
+
     def residual(self, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """rhs - A u on the free DoFs (constrained entries read rhs, which
         is zero under the solver invariant) — one fused kernel pass."""
@@ -456,6 +520,7 @@ def make_chebyshev(
     resid3_op=None,
     state_dtype: str = "f32",
     cheb2_op=None,
+    cheb2r_op=None,
 ) -> Chebyshev:
     """Set up the smoother for a level operator (host-side; runs eig-CG on device).
 
@@ -511,7 +576,34 @@ def make_chebyshev(
 
     cap = int(os.environ.get("PMG_EIG_MAX_ITERS", "256"))
     n_iter = max(1, min(int(eig_cg_n_iterations), int(np.prod(shape)), cap))
-    min_eig, max_eig = estimate_eigenvalues(op, inv_diag, n_iter, v0_dev)
+    # PMG_EIG_CACHE=1 (opt-in, set by bench.py): persist the Lanczos
+    # extremes to the disk probe cache.  The estimate is deterministic for
+    # a given (operator family, geometry, start vector, backend), and each
+    # per-level estimate costs a full remote jit compile — round 4's bench
+    # run died of the accumulated cold-start cost (VERDICT r4 item 1c).
+    # The key captures the operator identity only through its family/
+    # geometry fields, so this stays OFF for data-dependent operators
+    # (variable coefficients, general geometry) unless callers know their
+    # coefficient stream is run-invariant.
+    eig_key = None
+    if os.environ.get("PMG_EIG_CACHE", "0") == "1":
+        from ..utils import probe_cache
+
+        eig_key = (type(op).__name__, getattr(op, "core", None),
+                   getattr(op, "variant", None),
+                   tuple(int(s) for s in shape),
+                   int(getattr(op, "degree", 0)), str(dtype), n_iter,
+                   free_mask is not None)
+        hit = probe_cache.get("eig", eig_key)
+        if hit is not None:
+            min_eig, max_eig = float(hit[0]), float(hit[1])
+            eig_key = None  # no re-store
+        else:
+            min_eig, max_eig = estimate_eigenvalues(
+                op, inv_diag, n_iter, v0_dev)
+            probe_cache.put("eig", eig_key, [min_eig, max_eig])
+    else:
+        min_eig, max_eig = estimate_eigenvalues(op, inv_diag, n_iter, v0_dev)
     alpha, beta, deg = chebyshev_bounds(min_eig, max_eig, smoothing_range, degree)
     theta = jnp.asarray((beta + alpha) / 2.0, dtype)
     delta = jnp.asarray((beta - alpha) / 2.0, dtype)
@@ -520,6 +612,7 @@ def make_chebyshev(
             degree=deg, op=op, op_smooth=fused_smoother_op,
             op_resid3=resid3_op, trimmed_io=trimmed_io,
             state_dtype=state_dtype, op_cheb2=cheb2_op,
+            op_cheb2r=cheb2r_op,
             theta=theta, delta=delta,
         )
     return Chebyshev(

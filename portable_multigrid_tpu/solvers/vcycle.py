@@ -67,9 +67,17 @@ class VCycle:
         # src, so the residual apply is skipped (exact; the reference pays
         # this apply, see portable_v_cycle_multigrid.h:120 with u = 0)
         u = lvl.smoother.apply(src)
-        for _ in range(self.pre_smoothing_steps - 1):
+        # the LAST pre-smooth and the pre-restriction residual fuse into
+        # one kernel chain when the smoother supports it (the cheb2lr
+        # "pair + r_out" mode — ops/pallas_cheb2.py); algebraically
+        # identical to smooth() then residual()
+        fuse_sr = (self.pre_smoothing_steps >= 2
+                   and hasattr(lvl.smoother, "smooth_and_residual"))
+        for _ in range(self.pre_smoothing_steps - (2 if fuse_sr else 1)):
             u = self._smooth(level, u, src)
-        if hasattr(lvl.smoother, "residual"):
+        if fuse_sr:
+            u, residual = lvl.smoother.smooth_and_residual(u, src)
+        elif hasattr(lvl.smoother, "residual"):
             residual = lvl.smoother.residual(u, src)
         else:
             residual = src - lvl.op.apply(u)

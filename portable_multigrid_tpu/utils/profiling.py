@@ -34,7 +34,8 @@ def trace(dirname: str):
 
 
 def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
-               params=None, repeats: int = 1) -> float:
+               params=None, repeats: int = 1,
+               progress: Callable | None = None) -> float:
     """Per-iteration wall time of x -> f(x) (or f(params, x) when ``params``
     is given), robust to async dispatch.
 
@@ -47,8 +48,14 @@ def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
     ``repeats`` > 1 takes the minimum of several timed runs per iteration
     count — the tunneled relay's per-call jitter is one-sided, so best-of-k
     recovers the true steady-state slope.
+
+    ``progress(slope_so_far, k)`` — optional callback after each repeat
+    round (both iteration counts timed k times); a truthy return stops
+    further repeats (bench.py's deadline-aware early-out, VERDICT r4
+    item 1).  Repeat rounds alternate between the two iteration counts so a
+    slope exists after round 1.
     """
-    ts = {}
+    runs = {}
     for n in iterations:
         if params is None:
 
@@ -57,7 +64,7 @@ def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
                 y = jax.lax.fori_loop(0, n, lambda i, u: f(u), v)
                 return jnp.sum(y.ravel()[:1])
 
-            run = lambda: float(loop(x0))
+            runs[n] = (lambda loop=loop: float(loop(x0)))
         else:
 
             @jax.jit
@@ -65,17 +72,21 @@ def measure_op(f: Callable, x0: jnp.ndarray, iterations=(2, 8),
                 y = jax.lax.fori_loop(0, n, lambda i, u: f(prm, u), v)
                 return jnp.sum(y.ravel()[:1])
 
-            run = lambda: float(loop(params, x0))
-        run()  # compile + warm
-        best = None
-        for _ in range(max(1, repeats)):
-            t0 = time.perf_counter()
-            run()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        ts[n] = best
+            runs[n] = (lambda loop=loop: float(loop(params, x0)))
+        runs[n]()  # compile + warm
     n0, n1 = iterations
-    return (ts[n1] - ts[n0]) / (n1 - n0)
+    best = {n: None for n in iterations}
+    slope = None
+    for k in range(max(1, repeats)):
+        for n in iterations:
+            t0 = time.perf_counter()
+            runs[n]()
+            dt = time.perf_counter() - t0
+            best[n] = dt if best[n] is None else min(best[n], dt)
+        slope = (best[n1] - best[n0]) / (n1 - n0)
+        if progress is not None and progress(slope, k + 1):
+            break
+    return slope
 
 
 class SolverLog:

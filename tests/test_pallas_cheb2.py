@@ -143,6 +143,120 @@ def test_cheb2_smoother_preserves_convergence_counts():
     )
 
 
+@pytest.mark.parametrize(
+    "p,n,b,deg",
+    [
+        (2, 8, 4, 5),   # production pair count (2 pairs), edge blocks
+        (4, 4, 4, 5),   # production degree, whole-grid block
+        (2, 16, 4, 3),  # single pair == the rout pair (no mid pairs)
+        (2, 8, 8, 5),   # single block per axis (nbi == nbj == 1)
+    ],
+)
+def test_cheb2lr_matches_smooth_then_residual(p, n, b, deg):
+    """The S=3 "pair + r_out" kernel (mode cheb2lr): smooth_and_residual
+    must equal smooth() followed by residual() to f32 roundoff in
+    exact mode — the fused pre-restriction residual of VERDICT r4 item 2."""
+    sp = FESpace(HyperCubeMesh(3, int(np.log2(n))), p)
+    op = make_pallas_laplace(sp, jnp.float32, bx=b, by=b, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    k2 = make_cheb2(sp, jnp.float32, bx=b, by=b, interpret=True, exact=True)
+    k2r = make_cheb2(sp, jnp.float32, bx=b, by=b, interpret=True,
+                     exact=True, rout=True)
+    base = FusedChebyshev(degree=deg, op=op, op_smooth=op, theta=theta,
+                          delta=delta, trimmed_io=True, op_cheb2=k2)
+    fused = FusedChebyshev(degree=deg, op=op, op_smooth=op, theta=theta,
+                           delta=delta, trimmed_io=True, op_cheb2=k2,
+                           op_cheb2r=k2r)
+    bt, ut = _masked_state(sp, op, 7)
+
+    ua = np.asarray(base.smooth(ut, bt))
+    ra = np.asarray(base.residual(jnp.asarray(ua), bt))
+    ub, rb = fused.smooth_and_residual(ut, bt)
+    ub, rb = np.asarray(ub), np.asarray(rb)
+    assert np.abs(ua - ub).max() <= 2e-5 * np.abs(ua).max()
+    assert np.abs(ra - rb).max() <= 2e-5 * np.abs(ra).max()
+
+
+def test_cheb2lr_fallback_without_kernel():
+    """smooth_and_residual without an op_cheb2r kernel (or with an odd
+    recurrence tail) must fall back to smooth() + residual() unchanged."""
+    sp = FESpace(HyperCubeMesh(3, 3), 2)
+    op = make_pallas_laplace(sp, jnp.float32, bx=4, by=4, interpret=True)
+    theta = jnp.asarray(1.3, jnp.float32)
+    delta = jnp.asarray(0.9, jnp.float32)
+    k2 = make_cheb2(sp, jnp.float32, bx=4, by=4, interpret=True, exact=True)
+    k2r = make_cheb2(sp, jnp.float32, bx=4, by=4, interpret=True,
+                     exact=True, rout=True)
+    bt, ut = _masked_state(sp, op, 9)
+    # no rout kernel
+    sm = FusedChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                        delta=delta, trimmed_io=True, op_cheb2=k2)
+    u1, r1 = sm.smooth_and_residual(ut, bt)
+    u0 = sm.smooth(ut, bt)
+    r0 = sm.residual(u0, bt)
+    assert np.allclose(np.asarray(u0), np.asarray(u1))
+    assert np.allclose(np.asarray(r0), np.asarray(r1))
+    # odd recurrence tail (degree 4 -> 3 steps): must fall back, not fuse
+    smo = FusedChebyshev(degree=4, op=op, op_smooth=op, theta=theta,
+                         delta=delta, trimmed_io=True, op_cheb2=k2,
+                         op_cheb2r=k2r)
+    u2, r2 = smo.smooth_and_residual(ut, bt)
+    u3 = smo.smooth(ut, bt)
+    r3 = smo.residual(u3, bt)
+    assert np.abs(np.asarray(u2) - np.asarray(u3)).max() <= 1e-6
+    assert np.abs(np.asarray(r2) - np.asarray(r3)).max() <= 1e-6
+
+
+def test_cheb2lr_costs_at_most_one_iteration():
+    """Production grade (bf16 matrices + bf16 state streams) rout kernel
+    wired into the fine-level smoother: the incremental r_out is
+    RECURRENCE-grade — bf16-A errors accumulate in the r stream across the
+    pairs (~0.3 %/pair at residual scale), which measurably costs ONE extra
+    CG iteration (4 -> 5 here).  That is far from the naive bf16-residual
+    catastrophe (count doubling, CLAUDE.md round-2 lesson) but it is why
+    PMG_CHEB2R defaults OFF: the exact banded residual keeps golden counts.
+    This test pins the trade-off so the opt-in can never silently become a
+    count-doubling trap."""
+    dim, p, r = 3, 4, 2
+    base = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    _, st_base = base.solve()
+
+    prob = MixedPrecisionPoisson(dim, p, r, mg_dtype=jnp.float32)
+    exact = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True
+    )
+    mxu = make_pallas_laplace(
+        prob.spaces[-1], jnp.float32, bx=4, by=4, interpret=True, core="mxu"
+    )
+    k2 = make_cheb2(prob.spaces[-1], jnp.float32, bx=4, by=4,
+                    interpret=True)
+    k2r = make_cheb2(prob.spaces[-1], jnp.float32, bx=4, by=4,
+                     interpret=True, rout=True)
+    lv = list(prob.levels)
+    l = lv[-1]
+    sm = FusedChebyshev(
+        degree=l.smoother.degree, op=exact, op_smooth=mxu, op_cheb2=k2,
+        op_cheb2r=k2r,
+        theta=l.smoother.theta, delta=l.smoother.delta, trimmed_io=True,
+        state_dtype="bf16",
+    )
+    lv[-1] = MGLevel(op=exact, smoother=sm, transfer=l.transfer)
+    wired, fine_trim = wire_trimmed(lv)
+    assert fine_trim
+    prob.levels = tuple(wired)
+    prob.fine_trimmed = True
+    _, st = prob.solve()
+    assert st.converged
+    # measured: exactly one extra iteration from the recurrence-grade
+    # residual; anything beyond +1 means the kernel regressed toward the
+    # naive-bf16-residual failure mode
+    assert st_base.iterations <= st.iterations <= st_base.iterations + 1
+    assert st.solution_l2_norm == pytest.approx(
+        st_base.solution_l2_norm, rel=1e-7
+    )
+
+
 def test_cheb2_auto_ladder_degrades_on_compile_crash(monkeypatch):
     """Fault injection for the library fallback ladder (VERDICT r3 item 4):
     when the first candidate block's compile probe fails, make_cheb2_auto
