@@ -51,7 +51,8 @@ class LaplaceOperator:
     dim: int = static_field()
     degree: int = static_field()
     n: tuple = static_field()  # cells per axis (tuple; differ on sharded slabs)
-    variant: str = static_field(default="sumfac")  # "sumfac" | "dense" | "kron"
+    # "sumfac" | "dense" | "kron" | "bkron" | "qdense"
+    variant: str = static_field(default="sumfac")
     # TPU f32 matmul passes: "highest" = exact f32 (6-pass bf16), "high" =
     # 3-pass, "default" = 1-pass bf16.  Smoothing-level operators may relax
     # this (the preconditioner need not be exact — SURVEY.md §7 hard part d);
@@ -77,6 +78,16 @@ class LaplaceOperator:
     elem_matrix: jnp.ndarray = None  # [(p+1)^dim]^2 element matrix ("dense")
     Kg: tuple = None  # per-axis assembled 1D stiffness [N_d, N_d] ("kron")
     Mg: tuple = None  # per-axis assembled 1D mass [N_d, N_d] ("kron")
+    # "bkron" variant: the SAME assembled 1D matrices in block-tridiagonal
+    # form [nb, 3, 128, 128] (the band halfwidth p < 128, so every nonzero
+    # of block-row i lives in block-columns i-1..i+1).  Each 1D contraction
+    # is then 3 batched MXU matmuls — O(N * 384 * M) FLOPs instead of the
+    # dense kron's O(N^2 * M), which is what makes large-N grids (the 2D
+    # drivers, where N = n*p+1 reaches 3585) affordable without a Pallas
+    # kernel.  TPU-shaped replacement for the reference's 2D cell loop
+    # (include/operators/portable_laplace_operator.h:227-381).
+    Kb: tuple = None  # per-axis [nb, 3, 128, 128] stiffness block stacks
+    Mb: tuple = None  # per-axis [nb, 3, 128, 128] mass block stacks
     # optional variable scalar coefficient c(x) sampled at quadrature points,
     # laid out [n_0*nq, n_1*nq, ...] ("sumfac" only): generalizes the q-point
     # stage exactly like the reference's pluggable geometry data (SURVEY.md §7
@@ -92,6 +103,20 @@ class LaplaceOperator:
     # q-point loop (include/operators/portable_laplace_operator.h:300-340).
     Gmat: jnp.ndarray = None
     wcoef_e: jnp.ndarray = None
+    # "qbanded" variant (variable-coefficient block-banded fast path): the
+    # q-point pipeline hoisted to GLOBAL per-axis banded matrices.  The
+    # nodal->quadrature interpolation Bg [n*nq, N] and the collocation
+    # derivative Dg [n*nq, n*nq] are cell-block-diagonal, so each stage of
+    # the reference's q-point loop (portable_laplace_operator.h:300-340)
+    # is one batched MXU matmul on the contiguous grid (ops/bblock.py) —
+    # the gather/scatter element layout disappears entirely, and the
+    # transposed interpolation absorbs overlap-add exactly.
+    qBb: jnp.ndarray = None  # packed Bg blocks
+    qBTb: jnp.ndarray = None  # packed Bg.T blocks
+    qDb: jnp.ndarray = None  # packed Dg blocks
+    qDTb: jnp.ndarray = None  # packed Dg.T blocks
+    # ((starts, R, C) for qBb, qBTb, qDb, qDTb) — static pack metadata
+    qmeta: tuple = static_field(default=None)
 
     # -- shapes -----------------------------------------------------------
     @property
@@ -280,6 +305,88 @@ class LaplaceOperator:
             + ctr(kb + ma, self.Mg[0], 0)
         )
 
+    def _bctr(self, t: jnp.ndarray, Wb: jnp.ndarray, ax: int) -> jnp.ndarray:
+        """Contract axis ``ax`` of ``t`` with the block-tridiagonal matrix
+        ``Wb`` [nb, 3, B, B]: y_i = Wb[i,0] x_{i-1} + Wb[i,1] x_i +
+        Wb[i,2] x_{i+1} on 128-row block slices (zero blocks off the ends).
+        Three batched MXU matmuls; pad/slice handles N % 128 != 0."""
+        N = t.shape[ax]
+        t = jnp.moveaxis(t, ax, 0)
+        rest = t.shape[1:]
+        nb, _, B, _ = Wb.shape
+        tp = t.reshape(N, -1)
+        if nb * B != N:
+            tp = jnp.pad(tp, ((0, nb * B - N), (0, 0)))
+        tb = tp.reshape(nb, B, -1)
+        zero = jnp.zeros_like(tb[:1])
+        prev = jnp.concatenate([zero, tb[:-1]], axis=0)
+        nxt = jnp.concatenate([tb[1:], zero], axis=0)
+        kw = dict(precision=self.precision, preferred_element_type=t.dtype)
+        out = (
+            jnp.einsum("bij,bjm->bim", Wb[:, 0], prev, **kw)
+            + jnp.einsum("bij,bjm->bim", Wb[:, 1], tb, **kw)
+            + jnp.einsum("bij,bjm->bim", Wb[:, 2], nxt, **kw)
+        )
+        out = out.reshape(nb * B, -1)[:N].reshape((N,) + rest)
+        return jnp.moveaxis(out, 0, ax)
+
+    def apply_bkron(self, um: jnp.ndarray) -> jnp.ndarray:
+        """apply_kron with every 1D contraction in block-banded form."""
+        dim = self.dim
+        if dim == 1:
+            return self._bctr(um, self.Kb[0], 0)
+        if dim == 2:
+            b = self._bctr(um, self.Mb[1], 1)
+            a = self._bctr(um, self.Kb[1], 1)
+            return self._bctr(b, self.Kb[0], 0) + self._bctr(a, self.Mb[0], 0)
+        b = self._bctr(um, self.Mb[2], 2)
+        a = self._bctr(um, self.Kb[2], 2)
+        mb = self._bctr(b, self.Mb[1], 1)
+        kb = self._bctr(b, self.Kb[1], 1)
+        ma = self._bctr(a, self.Mb[1], 1)
+        return (
+            self._bctr(mb, self.Kb[0], 0)
+            + self._bctr(kb + ma, self.Mb[0], 0)
+        )
+
+    def apply_qbanded(self, um: jnp.ndarray) -> jnp.ndarray:
+        """Variable-coefficient apply via global block-banded stages:
+        interpolate to the quadrature grid (Bg per axis), per direction d
+        apply the block-diagonal collocation derivative, scale by
+        c(x_q) * w_q * h^(dim-2), transpose-derivative, then Bg^T per axis.
+        Identical arithmetic to apply_local (same quadrature), reordered
+        globally — equal to roundoff (tests/test_operator.py)."""
+        from . import bblock
+
+        dim = self.dim
+        (sB, Rq, Cn), (sBT, _, _), (sD, _, _), (sDT, _, _) = self.qmeta
+        v = um
+        for ax in range(dim):
+            v = bblock.contract(v, self.qBb, sB, Rq, Cn, ax, self.precision)
+        nq = self.B.shape[0]
+        w = self.qmetric.reshape(
+            tuple(1 if a % 2 == 0 else nq for a in range(2 * dim))
+        )
+        if self.coef is not None:
+            shp = []
+            for nd in self.n:
+                shp.extend((nd, nq))
+            wq = (self.coef.reshape(shp) * w).reshape(self.coef.shape)
+        else:
+            shp = []
+            for nd in self.n:
+                shp.extend((nd, nq))
+            wq = jnp.broadcast_to(w, shp).reshape((Rq,) * dim)
+        r = None
+        for d in range(dim):
+            g = bblock.contract(v, self.qDb, sD, Rq, Rq, d, self.precision)
+            g = g * wq
+            g = bblock.contract(g, self.qDTb, sDT, Rq, Rq, d, self.precision)
+            r = g if r is None else r + g
+        for ax in range(dim):
+            r = bblock.contract(r, self.qBTb, sBT, Cn, Rq, ax, self.precision)
+        return r
+
     def apply_bilinear(self, um: jnp.ndarray) -> jnp.ndarray:
         """Gather -> element apply -> scatter, WITHOUT the constraint masks.
 
@@ -288,6 +395,10 @@ class LaplaceOperator:
         """
         if self.variant == "kron":
             return self.apply_kron(um)
+        if self.variant == "bkron":
+            return self.apply_bkron(um)
+        if self.variant == "qbanded":
+            return self.apply_qbanded(um)
         ue = split_all(um, self.dim, self.n, self.degree)
         if self.variant == "dense":
             r = self.apply_local_dense(ue)
@@ -401,6 +512,50 @@ def assembled_1d_matrices(space: FESpace) -> tuple[np.ndarray, np.ndarray]:
     return K1, M1
 
 
+def _global_quad_matrices(space: FESpace) -> tuple[np.ndarray, np.ndarray]:
+    """Global per-axis quadrature-stage matrices (NumPy, setup time).
+
+    Bg [n*nq, N]: nodal grid -> quadrature-collocation grid (cell-block-
+    diagonal stack of the element interpolation B, overlapping one column
+    at shared cell-boundary points).  Dg [n*nq, n*nq]: block-diagonal
+    collocation derivative.  Together they hoist the reference's per-cell
+    q-point stages to the assembled grid, so Bg^T absorbs the overlap-add
+    scatter exactly."""
+    b = space.basis
+    n = space.mesh.cells_per_axis
+    p = space.degree
+    nq = b.n_q
+    N = space.points_per_axis
+    Bg = np.zeros((n * nq, N))
+    Dg = np.zeros((n * nq, n * nq))
+    for c in range(n):
+        Bg[c * nq : (c + 1) * nq, c * p : c * p + p + 1] = b.B
+        Dg[c * nq : (c + 1) * nq, c * nq : (c + 1) * nq] = b.Dco
+    return Bg, Dg
+
+
+def _pack_block_tridiagonal(A: np.ndarray, B: int = 128) -> np.ndarray:
+    """Repack a banded matrix [N, N] (band halfwidth < B) into block-
+    tridiagonal form [nb, 3, B, B]: out[i, k] is the (i, i+k-1) block of the
+    zero-padded [nb*B, nb*B] matrix.  Exact repartition — every nonzero
+    entry lands in exactly one block, so the block contraction reproduces
+    A @ x to roundoff (no assembly/double-counting subtlety: this slices a
+    GLOBAL assembled matrix, unlike the block-LOCAL partial assemblies the
+    Pallas kernels need)."""
+    N = A.shape[0]
+    nb = -(-N // B)
+    Ap = np.zeros((nb * B, nb * B), A.dtype)
+    Ap[:N, :N] = A
+    out = np.zeros((nb, 3, B, B), A.dtype)
+    for i in range(nb):
+        rows = slice(i * B, (i + 1) * B)
+        for k in range(3):
+            j = i + k - 1
+            if 0 <= j < nb:
+                out[i, k] = Ap[rows, j * B : (j + 1) * B]
+    return out
+
+
 def _grad_matrix(basis, dim: int) -> np.ndarray:
     """Dense element gradient operator [(p+1)^dim, dim*nq^dim] (setup time).
 
@@ -460,6 +615,18 @@ def _diagonal_grid_coef(space: FESpace, coef: np.ndarray) -> np.ndarray:
     return diag * m + (1.0 - m)
 
 
+def best_xla_variant(space: FESpace) -> str:
+    """The fastest pure-XLA assembled variant for a space: block-banded
+    Kronecker ("bkron") once the axis DoF count N makes the dense kron's
+    O(N^2) 1D matmuls wasteful (the 3-block band costs O(384 N)), dense
+    kron below.  PMG_BKRON_MIN_N overrides the crossover (default 1024,
+    measured on the v5e: experiments/r5_batch3.py)."""
+    import os
+
+    thr = int(os.environ.get("PMG_BKRON_MIN_N", "1024"))
+    return "bkron" if space.points_per_axis >= thr else "kron"
+
+
 def make_laplace(
     space: FESpace,
     dtype=jnp.float64,
@@ -473,7 +640,9 @@ def make_laplace(
     variant "dense": one constant element matrix applied as a single MXU
     matmul per batch; variant "kron": assembled 1D matrices applied as
     dim large matmuls on the contiguous grid — fastest on affine uniform
-    meshes at moderate grid sizes.
+    meshes at moderate grid sizes; variant "bkron": kron with the 1D
+    matrices in block-tridiagonal [nb, 3, 128, 128] form — batched MXU
+    matmuls at O(384 N) per contraction, the large-N (2D driver) fast path.
     """
     from ..fem.assemble import element_stiffness_cartesian
 
@@ -488,13 +657,15 @@ def make_laplace(
     inv_diag_full = None
     dK1 = dM1 = None
     Gmat = wcoef_e = None
+    qBb = qBTb = qDb = qDTb = None
+    qmeta = None
     if coefficient is not None:
         if variant in ("auto", "qdense"):
             variant = "qdense"
-        elif variant != "sumfac":
+        elif variant not in ("sumfac", "qbanded"):
             raise ValueError(
-                "variable coefficients require the 'sumfac' or 'qdense' "
-                "variant"
+                "variable coefficients require the 'sumfac', 'qdense' or "
+                "'qbanded' variant"
             )
         coef = _coef_at_quad(space, coefficient)
         # the variable-coefficient diagonal is not separable: store it whole
@@ -515,12 +686,25 @@ def make_laplace(
             Gmat = jnp.asarray(_grad_matrix(b, dim), dtype)
             wcoef_e = jnp.asarray(ce * qm.reshape(1, -1), dtype)
             coef = None  # grid-layout copy not needed on the qdense path
+        elif variant == "qbanded":
+            from . import bblock
+
+            Bg, Dg = _global_quad_matrices(space)
+            pB = bblock.pack_rect(Bg)
+            pBT = bblock.pack_rect(Bg.T)
+            pD = bblock.pack_rect(Dg)
+            pDT = bblock.pack_rect(Dg.T)
+            qBb = jnp.asarray(pB[0], dtype)
+            qBTb = jnp.asarray(pBT[0], dtype)
+            qDb = jnp.asarray(pD[0], dtype)
+            qDTb = jnp.asarray(pDT[0], dtype)
+            qmeta = tuple(p[1:] for p in (pB, pBT, pD, pDT))
     else:
         gK, gM = diagonal_1d_factors(space)
         dK1 = (jnp.asarray(gK, dtype),) * dim
         dM1 = (jnp.asarray(gM, dtype),) * dim
     elem = None
-    Kg = Mg = None
+    Kg = Mg = Kb = Mb = None
     if variant == "dense":
         elem = jnp.asarray(
             element_stiffness_cartesian(space.degree, dim, space.mesh.h), dtype
@@ -529,7 +713,11 @@ def make_laplace(
         K1, M1 = assembled_1d_matrices(space)
         Kg = (jnp.asarray(K1, dtype),) * dim
         Mg = (jnp.asarray(M1, dtype),) * dim
-    elif variant not in ("sumfac", "qdense"):
+    elif variant == "bkron":
+        K1, M1 = assembled_1d_matrices(space)
+        Kb = (jnp.asarray(_pack_block_tridiagonal(K1), dtype),) * dim
+        Mb = (jnp.asarray(_pack_block_tridiagonal(M1), dtype),) * dim
+    elif variant not in ("sumfac", "qdense", "qbanded"):
         raise ValueError(f"unknown operator variant: {variant!r}")
     return LaplaceOperator(
         dim=dim,
@@ -547,7 +735,14 @@ def make_laplace(
         elem_matrix=elem,
         Kg=Kg,
         Mg=Mg,
+        Kb=Kb,
+        Mb=Mb,
         coef=None if coef is None else jnp.asarray(coef, dtype),
         Gmat=Gmat,
         wcoef_e=wcoef_e,
+        qBb=qBb,
+        qBTb=qBTb,
+        qDb=qDb,
+        qDTb=qDTb,
+        qmeta=qmeta,
     )

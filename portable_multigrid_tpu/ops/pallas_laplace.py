@@ -40,7 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fem.basis import make_basis
 from ..fem.space import FESpace
 from ..utils.pytree import pytree_dataclass, static_field
-from .laplace import assembled_1d_matrices, diagonal_1d_factors, make_laplace
+from .laplace import (
+    assembled_1d_matrices,
+    best_xla_variant,
+    diagonal_1d_factors,
+    make_laplace,
+)
 
 
 def to_bands(W: np.ndarray, p: int) -> np.ndarray:
@@ -1246,7 +1251,8 @@ def make_laplace_auto(
             op = _exact_rescue(space, dtype, precision)
             if op is not None:
                 return op
-        return make_laplace(space, dtype, variant="kron", precision=precision)
+        return make_laplace(space, dtype, variant=best_xla_variant(space),
+                            precision=precision)
     if dtype == jnp.float32:
         # the Mosaic block-size crash rules key on the KERNEL lane extent,
         # i.e. the padded count (Q7 r=5: 224 real lanes pad to 256)
@@ -1305,4 +1311,5 @@ def make_laplace_auto(
                 op = _exact_rescue(space, dtype, precision)
                 if op is not None:
                     return op
-    return make_laplace(space, dtype, variant="kron", precision=precision)
+    return make_laplace(space, dtype, variant=best_xla_variant(space),
+                        precision=precision)

@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--cycles", type=int, default=None,
                     help="refinement cycles (default: 9 - dim, as the reference)")
     ap.add_argument("--variant", default=None,
-                    choices=["sumfac", "dense", "kron", "auto"],
+                    choices=["sumfac", "dense", "kron", "bkron", "auto"],
                     help="operator variant (default: auto — the production "
                          "fused Pallas path — on TPU backends, kron on CPU)")
     ap.add_argument("--f32", action="store_true",

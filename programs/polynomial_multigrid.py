@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--rtol", type=float, default=None)
     ap.add_argument("--variant", default=None,
-                    choices=["sumfac", "dense", "kron", "auto"],
+                    choices=["sumfac", "dense", "kron", "bkron", "auto"],
                     help="operator variant (default: auto — the production "
                          "fused Pallas path — on TPU backends, sumfac on CPU)")
     args = ap.parse_args()

@@ -92,9 +92,37 @@ def test_variants_agree(dim, p, r):
     u = rng.standard_normal(sp.grid_shape)
     ref = np.asarray(make_laplace(sp, variant="sumfac").apply(u))
     scale = np.abs(ref).max()
-    for variant in ("dense", "kron"):
+    for variant in ("dense", "kron", "bkron"):
         got = np.asarray(make_laplace(sp, variant=variant).apply(u))
         np.testing.assert_allclose(got, ref, atol=1e-13 * scale)
+
+
+@pytest.mark.parametrize("dim,p,r", [(1, 5, 6), (2, 7, 5), (2, 3, 6)])
+def test_bkron_large_n_matches_kron(dim, p, r):
+    """The block-tridiagonal Kronecker repack is exact at axis sizes that
+    straddle multiple 128-blocks and need end padding (N = 321, 225, 193) —
+    the regime the 2D drivers run it in."""
+    sp = FESpace(HyperCubeMesh(dim, r), p)
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal(sp.grid_shape)
+    ref = np.asarray(make_laplace(sp, variant="kron").apply(u))
+    got = np.asarray(make_laplace(sp, variant="bkron").apply(u))
+    np.testing.assert_allclose(got, ref, atol=1e-13 * np.abs(ref).max())
+
+
+def test_bkron_solve_count_parity(monkeypatch):
+    """A 2D p-ladder solve on bkron levels (threshold forced low) must
+    reproduce the sumfac iteration count and norm — the end-to-end guard
+    for the 2D fast path's operator + smoother interplay."""
+    monkeypatch.setenv("PMG_BKRON_MIN_N", "16")
+    from portable_multigrid_tpu.models.poisson import (
+        PolynomialMultigridPoisson,
+    )
+
+    _, a = PolynomialMultigridPoisson(2, 4, 3, 4, variant="auto").solve()
+    _, s = PolynomialMultigridPoisson(2, 4, 3, 4, variant="sumfac").solve()
+    assert a.converged and a.iterations == s.iterations
+    assert a.solution_l2_norm == pytest.approx(s.solution_l2_norm, rel=1e-10)
 
 
 def _coef(*xs):
@@ -105,7 +133,7 @@ def _coef(*xs):
 
 
 @pytest.mark.parametrize("dim,p,r", [(1, 3, 2), (2, 2, 2), (3, 2, 1)])
-@pytest.mark.parametrize("variant", ["sumfac", "qdense"])
+@pytest.mark.parametrize("variant", ["sumfac", "qdense", "qbanded"])
 def test_variable_coefficient_matches_dense(dim, p, r, variant):
     """a(u,v) = ∫ c grad u . grad v with a smooth c(x) (BASELINE config 4)."""
     from portable_multigrid_tpu.fem.assemble import dense_operator_coefficient
