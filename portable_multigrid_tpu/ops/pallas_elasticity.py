@@ -145,7 +145,7 @@ class PallasElasticityOperator:
         uk = u
         if self.zpad:
             uk = jnp.pad(u, ((0, 0), (0, 0), (0, 0), (0, self.zpad - 1)))
-        outs = self._run(uk)
+        outs = self._run("apply", uk)
         au = jnp.stack(outs)
         if self.zpad:
             au = au[..., : self.grid_shape[2] - 1]
@@ -155,7 +155,29 @@ class PallasElasticityOperator:
 
     vmult = apply
 
-    def _run(self, u: jnp.ndarray):
+    def _run(self, mode: str, u, blocked_ins=(), scal=None):
+        """Shared block-grid / carry-plane kernel skeleton, vector twin of
+        the scalar fused-mode family (ops/pallas_laplace.py:_run):
+
+        * "apply":     outv_c = (M A M u)_c trimmed; u stacked full grid.
+        * "residual":  r0_c = rhs_c - (M A M u)_c, d0_c = r0_c/(theta
+                       diag_c); u stacked full, blocked_ins = 3 trimmed rhs
+                       components, scal = [theta, theta]; 6 outputs.
+        * "residual1": r0_c only (restriction prep); 3 outputs, no facs.
+        * "cheb":      one fused Chebyshev recurrence step on TRIMMED
+                       3-component state: r'_c = r_c - (M A M d)_c,
+                       d'_c = c0 d_c + c1 r'_c/diag_c, x'_c = x_c + d'_c;
+                       u = (d0, d1, d2) tuple of trimmed components (three
+                       ANY stencil operands), blocked_ins = (r0..r2,
+                       x0..x2), scal = [c0, c1]; 9 outputs.
+        * "chebl":     LAST step — only x'_c written (3 outputs).
+
+        diag_c is rebuilt in-VMEM from the scalar per-axis 1D factors with
+        the elasticity alpha weights (diag_c = sum_k alpha_{k,c} term_k,
+        alpha = 2mu+lam on the component's own axis, mu otherwise) — the
+        vector analog of the scalar kernel's separable-diagonal rebuild.
+        The fused modes kill the 3-component elementwise XLA passes between
+        smoother kernel launches (VERDICT r4 item 5)."""
         p = self.degree
         n0, n1, n2 = self.n
         N0, N1 = n0 * p + 1, n1 * p + 1
@@ -166,47 +188,108 @@ class PallasElasticityOperator:
         dtype = self.dtype
         mu, lam = self.mu, self.lam
         al = 2.0 * mu + lam
+        trimmed_in = mode in ("cheb", "chebl")
+        n_facs = 6 if mode in ("residual", "cheb", "chebl") else 0
+        n_scal = 0 if scal is None else 1
+        n_bins = len(blocked_ins)
+        n_outs = {"apply": 3, "residual1": 3, "residual": 6,
+                  "cheb": 9, "chebl": 3}[mode]
 
         if byp % 8 != 0:
             raise ValueError("pallas kernel requires by*p % 8 == 0")
 
-        def kernel(u_hbm, *refs):
+        def kernel(*args):
+            if trimmed_in:
+                u_refs = args[:3]
+                refs = args[3:]
+            else:
+                u_refs = (args[0],) * 3  # stacked: component picked in .at[]
+                refs = args[1:]
             (Kz_r, Mz_r, Gz_r, Hz_r, Kx_r, Mx_r, Gx_r, Hx_r,
              Ky_r, My_r, Gy_r, Hy_r) = refs[:12]
-            out_refs = refs[12:15]
-            slabs = refs[15:18]
-            cys = refs[18:21]
-            cxs = refs[21:24]
-            sems = refs[24]
+            pos = 12
+            fac_refs = refs[pos: pos + n_facs]
+            pos += n_facs
+            scal_r = refs[pos] if n_scal else None
+            pos += n_scal
+            bin_refs = refs[pos: pos + n_bins]
+            pos += n_bins
+            out_refs = refs[pos: pos + n_outs]
+            pos += n_outs
+            slabs = refs[pos: pos + 3]
+            cys = refs[pos + 3: pos + 6]
+            cxs = refs[pos + 6: pos + 9]
+            sems = refs[pos + 9]
             i = pl.program_id(0)
             j = pl.program_id(1)
             k = i * nbj + j
             islot = jax.lax.rem(k, jnp.int32(2))
 
             # double-buffered input DMA, one slab per component (the scalar
-            # kernel's skeleton; y-window = aligned byp body + next 8 rows)
-            def in_main(c, slot, ii, jj):
+            # kernel's skeleton; y-window = aligned byp body + next 8 rows).
+            # Trimmed stencil inputs (cheb modes) lack the global last
+            # x-plane: the last i-block fetches rows-1 rows and zeroes the
+            # window's final row (scalar on_rows precedent).
+            def in_main(c, slot, ii, jj, rows):
+                if trimmed_in:
+                    src = u_refs[c].at[pl.ds(ii * bxp, rows),
+                                       pl.ds(jj * byp, byp), pl.ds(0, Z)]
+                else:
+                    src = u_refs[c].at[c, pl.ds(ii * bxp, rows),
+                                       pl.ds(jj * byp, byp), pl.ds(0, Z)]
                 return pltpu.make_async_copy(
-                    u_hbm.at[c, pl.ds(ii * bxp, X), pl.ds(jj * byp, byp),
-                             pl.ds(0, Z)],
-                    slabs[c].at[slot, 0:X, 0:byp, :], sems.at[4 * c + slot],
+                    src, slabs[c].at[slot, 0:rows, 0:byp, :],
+                    sems.at[4 * c + slot],
                 )
 
-            def in_tail(c, slot, ii, jj):
+            def in_tail(c, slot, ii, jj, rows):
+                if trimmed_in:
+                    src = u_refs[c].at[pl.ds(ii * bxp, rows),
+                                       pl.ds((jj + 1) * byp, 8), pl.ds(0, Z)]
+                else:
+                    src = u_refs[c].at[c, pl.ds(ii * bxp, rows),
+                                       pl.ds((jj + 1) * byp, 8), pl.ds(0, Z)]
                 return pltpu.make_async_copy(
-                    u_hbm.at[c, pl.ds(ii * bxp, X), pl.ds((jj + 1) * byp, 8),
-                             pl.ds(0, Z)],
-                    slabs[c].at[slot, 0:X, byp: byp + 8, :],
+                    src, slabs[c].at[slot, 0:rows, byp: byp + 8, :],
                     sems.at[4 * c + 2 + slot],
                 )
 
+            def on_rows(ii, fn):
+                """Static row count for block-row ii (trimmed stencil
+                inputs are one x-row short on the last block)."""
+                if not trimmed_in:
+                    fn(X)
+                    return
+                if nbi == 1:
+                    fn(X - 1)
+                    return
+
+                @pl.when(ii == nbi - 1)
+                def _():
+                    fn(X - 1)
+
+                @pl.when(ii < nbi - 1)
+                def _():
+                    fn(X)
+
             def start_fetch(slot, ii, jj):
                 for c in range(3):
-                    in_main(c, slot, ii, jj).start()
+                    on_rows(ii,
+                            lambda rows, c=c:
+                            in_main(c, slot, ii, jj, rows).start())
+                    if trimmed_in:
+
+                        @pl.when(ii == nbi - 1)
+                        def _(c=c):
+                            slabs[c][slot, X - 1: X, :, :] = jnp.zeros(
+                                (1, byp + 8, Z), dtype
+                            )
 
                     @pl.when(jj < nbj - 1)
                     def _(c=c):
-                        in_tail(c, slot, ii, jj).start()
+                        on_rows(ii,
+                                lambda rows, c=c:
+                                in_tail(c, slot, ii, jj, rows).start())
 
                     @pl.when(jj == nbj - 1)
                     def _(c=c):
@@ -226,11 +309,15 @@ class PallasElasticityOperator:
                 )
 
             for c in range(3):
-                in_main(c, islot, i, j).wait()
+                on_rows(i,
+                        lambda rows, c=c: in_main(c, islot, i, j,
+                                                  rows).wait())
 
                 @pl.when(j < nbj - 1)
                 def _(c=c):
-                    in_tail(c, islot, i, j).wait()
+                    on_rows(i,
+                            lambda rows, c=c: in_tail(c, islot, i, j,
+                                                      rows).wait())
 
             xi = jax.lax.broadcasted_iota(jnp.int32, (X, 1, 1), 0)
             yi = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
@@ -357,6 +444,22 @@ class PallasElasticityOperator:
             )
 
             # ---- per-component carry-plane overlap-add (scalar logic x3)
+            if n_facs:
+                # in-VMEM separable diagonal rebuild, alpha-weighted per
+                # component (the vector twin of the scalar fac_refs logic)
+                (xK_r, xM_r, yK_r, yM_r, zK_r, zM_r) = fac_refs
+                xK = xK_r[pl.ds(i * bxp, bxp), :, :]
+                xM = xM_r[pl.ds(i * bxp, bxp), :, :]
+                yK = yK_r[:, pl.ds(j * byp, byp), :]
+                yM = yM_r[:, pl.ds(j * byp, byp), :]
+                zK = zK_r[...]
+                zM = zM_r[...]
+                terms = (xK * yM * zM, xM * yK * zM, xM * yM * zK)
+                diags = [
+                    sum((al if kk == c else mu) * terms[kk]
+                        for kk in range(3))
+                    for c in range(3)
+                ]
             wbuf = jax.lax.rem(i, jnp.int32(2))
             rbuf = 1 - wbuf
             for c, raw in enumerate((raw0, raw1, raw2)):
@@ -383,15 +486,69 @@ class PallasElasticityOperator:
                 plane_x0 = outv[:1, :, :] + cx[None, :, :]
                 outv = jnp.concatenate([plane_x0, outv[1:, :, :]], axis=0)
                 outv = outv * mvx[: X - 1] * mvy[:, : Y - 1]
-                out_refs[c][...] = outv
+                if mode == "apply":
+                    out_refs[c][...] = outv
+                elif mode == "residual1":
+                    out_refs[c][...] = bin_refs[c][...] - outv
+                elif mode == "residual":
+                    theta = scal_r[0, 0]
+                    r0 = bin_refs[c][...] - outv
+                    out_refs[c][...] = r0
+                    out_refs[3 + c][...] = r0 / (theta * diags[c])
+                else:  # "cheb" / "chebl"
+                    d_blk = slabs[c][islot, : X - 1, 0:byp, :].astype(dtype)
+                    r_blk = bin_refs[c][...]
+                    x_blk = bin_refs[3 + c][...]
+                    c0 = scal_r[0, 0]
+                    c1 = scal_r[0, 1]
+                    rn = r_blk - outv
+                    dn = c0 * d_blk + (c1 / diags[c]) * rn
+                    if mode == "chebl":
+                        out_refs[c][...] = x_blk + dn
+                    else:
+                        out_refs[c][...] = rn
+                        out_refs[3 + c][...] = dn
+                        out_refs[6 + c][...] = x_blk + dn
 
-        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [
+        n_stencil = 3 if trimmed_in else 1
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_stencil + [
             pl.BlockSpec(memory_space=pltpu.VMEM)
         ] * 12
+        mats = self.bands if self.core == "banded" else self.dense_mats
+        operands = list(mats)
+        if n_facs:
+            # trimmed per-axis diagonal factors; z pad lanes hold 1.0 (the
+            # trimmed state is zero there and 0/diag needs finite nonzero)
+            dKx, dKy, dKz = self.dK1
+            dMx, dMy, dMz = self.dM1
+            zdK = dKz[: n2 * p]
+            zdM = dMz[: n2 * p]
+            if self.zpad:
+                zdK = jnp.pad(zdK, (0, self.zpad), constant_values=1.0)
+                zdM = jnp.pad(zdM, (0, self.zpad), constant_values=1.0)
+            operands += [
+                dKx[: N0 - 1].reshape(-1, 1, 1),
+                dMx[: N0 - 1].reshape(-1, 1, 1),
+                dKy[: N1 - 1].reshape(1, -1, 1),
+                dMy[: N1 - 1].reshape(1, -1, 1),
+                zdK.reshape(1, 1, -1),
+                zdM.reshape(1, 1, -1),
+            ]
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        if n_scal:
+            operands.append(jnp.asarray(scal, jnp.float32).reshape(1, 2))
+            in_specs.append(
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+            )
         blk_spec = pl.BlockSpec((bxp, byp, Z), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
+        for b_in in blocked_ins:
+            operands.append(b_in)
+            in_specs.append(blk_spec)
         out_shape = tuple(
-            jax.ShapeDtypeStruct((N0 - 1, N1 - 1, Z), dtype) for _ in range(3)
+            jax.ShapeDtypeStruct((N0 - 1, N1 - 1, Z), dtype)
+            for _ in range(n_outs)
         )
         scratch = (
             [pltpu.VMEM((2, X, byp + 8, Z), dtype) for _ in range(3)]
@@ -403,7 +560,7 @@ class PallasElasticityOperator:
             kernel,
             grid=(nbi, nbj),
             in_specs=in_specs,
-            out_specs=(blk_spec,) * 3,
+            out_specs=(blk_spec,) * n_outs,
             out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
@@ -411,8 +568,8 @@ class PallasElasticityOperator:
             ),
             interpret=self.interpret,
         )
-        mats = self.bands if self.core == "banded" else self.dense_mats
-        return inner(u, *mats)
+        stencils = tuple(u) if trimmed_in else (u,)
+        return inner(*stencils, *operands)
 
 
 def _masked_embedded(W, m1, Zr, Z):

@@ -123,3 +123,72 @@ def test_pallas_elasticity_smoother_parity():
     x_ref = np.asarray(sm_ref.apply(b))
     x_pal = np.asarray(sm_pal.apply(b))
     assert np.max(np.abs(x_ref - x_pal)) / np.max(np.abs(x_ref)) < 1e-10
+
+
+@pytest.mark.parametrize("n,zpad", [(8, 0), (4, 4)])
+def test_fused_vector_chebyshev_matches_plain(n, zpad):
+    """FusedVectorChebyshev (kernel-fused vector recurrence on trimmed
+    3-component state — modes residual/residual1/cheb/chebl) equals the
+    plain Chebyshev smoother on masked inputs to f32-coefficient roundoff
+    (the recurrence scalars ride SMEM as f32, the scalar-kernel precedent:
+    tests/test_pallas_smoother.py::test_fused_chebyshev_matches_plain)."""
+    from portable_multigrid_tpu.solvers.chebyshev import (
+        Chebyshev,
+        FusedVectorChebyshev,
+    )
+
+    sp = FESpace(HyperCubeMesh(3, int(np.log2(n))), 2)
+    mu, lam = 0.7, 1.3
+    op = make_pallas_elasticity(
+        sp, jnp.float64, mu=mu, lam=lam, bx=4, by=4, interpret=True,
+        zpad=zpad,
+    )
+    theta = jnp.asarray(1.3, jnp.float64)
+    delta = jnp.asarray(0.9, jnp.float64)
+    plain = Chebyshev(degree=5, op=op, inv_diag=None, theta=theta,
+                      delta=delta)
+    fused = FusedVectorChebyshev(degree=5, op=op, op_smooth=op, theta=theta,
+                                 delta=delta)
+    rng = np.random.default_rng(0)
+    fm = np.broadcast_to(sp.free_mask()[None], op.shape)
+    b = jnp.asarray(rng.standard_normal(op.shape) * fm)
+    u = jnp.asarray(rng.standard_normal(op.shape) * fm)
+
+    za, zb = np.asarray(plain.apply(b)), np.asarray(fused.apply(b))
+    assert np.abs(za - zb).max() <= 5e-6 * np.abs(za).max()
+    sa = np.asarray(u + plain.apply(b - op.apply(u)))
+    sb = np.asarray(fused.smooth(u, b))
+    assert np.abs(sa - sb).max() <= 5e-6 * np.abs(sa).max()
+    ra = np.asarray((b - op.apply(u)) * fm)
+    rb = np.asarray(fused.residual(u, b))
+    assert np.abs(ra - rb).max() <= 5e-6 * np.abs(ra).max()
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_fused_vector_chebyshev_low_degree(degree):
+    """Degree-1 (damped Jacobi, pure XLA diagonal path) and degree-2 (one
+    fused chebl step) edge cases of the vector fused smoother."""
+    from portable_multigrid_tpu.solvers.chebyshev import (
+        Chebyshev,
+        FusedVectorChebyshev,
+    )
+
+    sp = FESpace(HyperCubeMesh(3, 2), 2)
+    op = make_pallas_elasticity(
+        sp, jnp.float64, mu=0.7, lam=1.3, bx=4, by=4, interpret=True, zpad=0
+    )
+    theta = jnp.asarray(1.1, jnp.float64)
+    delta = jnp.asarray(0.8, jnp.float64)
+    plain = Chebyshev(degree=degree, op=op, inv_diag=None, theta=theta,
+                      delta=delta)
+    fused = FusedVectorChebyshev(degree=degree, op=op, theta=theta,
+                                 delta=delta)
+    rng = np.random.default_rng(3)
+    fm = np.broadcast_to(sp.free_mask()[None], op.shape)
+    b = jnp.asarray(rng.standard_normal(op.shape) * fm)
+    u = jnp.asarray(rng.standard_normal(op.shape) * fm)
+    za, zb = np.asarray(plain.apply(b)), np.asarray(fused.apply(b))
+    assert np.abs(za - zb).max() <= 5e-6 * np.abs(za).max()
+    sa = np.asarray(u + plain.apply(b - op.apply(u)))
+    sb = np.asarray(fused.smooth(u, b))
+    assert np.abs(sa - sb).max() <= 5e-6 * np.abs(sa).max()
