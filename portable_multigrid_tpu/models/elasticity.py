@@ -100,32 +100,53 @@ class ElasticityMultigrid:
 
     @staticmethod
     def _maybe_mxu_recurrence(sm, op, sp, dtype, mu, lam):
-        """Route the Chebyshev RECURRENCE through the bf16 MXU elasticity
-        core when the exact operator is the banded Pallas kernel (the
-        scalar-operator smoother split: recurrence state tolerates a
-        bf16-grade operator, level residuals/eig bounds stay on the exact
-        banded core — CG counts pinned by the batch-13 solve check and
-        tests/test_pallas_elasticity.py).  PMG_ELASTICITY_MXU=0 opts out."""
+        """Upgrade the smoothing-level Chebyshev when the exact operator is
+        the banded Pallas kernel:
+
+        1. route the RECURRENCE through the bf16 MXU elasticity core (the
+           scalar-operator smoother split: recurrence state tolerates a
+           bf16-grade operator, level residuals/eig bounds stay on the
+           exact banded core — CG counts pinned by the batch-13 solve check
+           and tests/test_pallas_elasticity.py); PMG_ELASTICITY_MXU=0 opts
+           out;
+        2. fuse the recurrence epilogues into the kernels
+           (FusedVectorChebyshev, modes residual/cheb/chebl — the
+           elementwise 3-component updates stop costing XLA HBM passes)
+           when the fused modes compile (AOT-probed, the apply-probe
+           precedent); PMG_ELASTICITY_FUSED=0 opts out."""
         import dataclasses
         import os
 
         from ..ops.pallas_elasticity import (
             PallasElasticityOperator,
             elasticity_compile_ok,
+            elasticity_fused_ok,
             make_pallas_elasticity,
         )
+        from ..solvers.chebyshev import FusedVectorChebyshev
 
         if not isinstance(op, PallasElasticityOperator):
             return sm
-        if os.environ.get("PMG_ELASTICITY_MXU", "1") != "1":
-            return sm
-        mxu = make_pallas_elasticity(
-            sp, dtype, mu=mu, lam=lam, bx=op.bx, by=op.by, core="mxu",
-            zpad=op.zpad, interpret=op.interpret,
-        )
-        if not elasticity_compile_ok(mxu):
-            return sm
-        return dataclasses.replace(sm, op=mxu)
+        mxu = None
+        if os.environ.get("PMG_ELASTICITY_MXU", "1") == "1":
+            cand = make_pallas_elasticity(
+                sp, dtype, mu=mu, lam=lam, bx=op.bx, by=op.by, core="mxu",
+                zpad=op.zpad, interpret=op.interpret,
+            )
+            if elasticity_compile_ok(cand):
+                mxu = cand
+        if (
+            os.environ.get("PMG_ELASTICITY_FUSED", "1") == "1"
+            and elasticity_fused_ok(op)
+            and (mxu is None or elasticity_fused_ok(mxu))
+        ):
+            return FusedVectorChebyshev(
+                degree=sm.degree, op=op, op_smooth=mxu,
+                theta=sm.theta, delta=sm.delta,
+            )
+        if mxu is not None:
+            return dataclasses.replace(sm, op=mxu)
+        return sm
 
     def solve(self, rtol: float = 1e-12, verbose: bool = False):
         fine = self.spaces[-1]

@@ -722,6 +722,67 @@ def _probe(op) -> bool:
         return False
 
 
+def elasticity_fused_ok(op: PallasElasticityOperator) -> bool:
+    """AOT compile-probe the FUSED smoother modes (cheb: 3 trimmed stencil
+    operands + 6 blocked inputs + 9 blocked outputs; residual: stacked
+    input + 6 outputs) — a strictly larger Mosaic envelope than apply's
+    (the scalar residual3t precedent: 3 blocked outputs crashed blocks that
+    apply compiled).  Memoized on disk like elasticity_compile_ok."""
+    if op.interpret:
+        return True
+    key = (op.n, op.degree, op.bx, op.by, op.zpad, op.core)
+    memo_key = ("fused",) + key
+    if memo_key not in _ELASTICITY_OK_MEMO:
+        from ..utils import probe_cache
+
+        hit = probe_cache.get("elasticity_fused_ok", key)
+        if hit is None:
+            hit = _probe_fused(op)
+            probe_cache.put("elasticity_fused_ok", key, hit)
+        _ELASTICITY_OK_MEMO[memo_key] = hit
+    return _ELASTICITY_OK_MEMO[memo_key]
+
+
+def _probe_fused(op) -> bool:
+    import sys
+
+    p = op.degree
+    n0, n1, n2 = op.n
+    t = jax.ShapeDtypeStruct(
+        (n0 * p, n1 * p, n2 * p + op.zpad), jnp.float32
+    )
+    # stacked stencil input as smooth() passes it: the full grid, z lanes
+    # extended to the kernel's Z when zpad (pad of zpad-1 over n2*p+1)
+    zfull = n2 * p + op.zpad if op.zpad else n2 * p + 1
+    full = jax.ShapeDtypeStruct(
+        (3, n0 * p + 1, n1 * p + 1, zfull), jnp.float32
+    )
+    scal = np.asarray([0.5, 0.5], np.float32)
+
+    def cheb(*ts):
+        outs = op._run("cheb", ts[:3], ts[3:9], scal)
+        return outs[0].ravel()[:1]
+
+    def resid(u, *ts):
+        outs = op._run("residual", u, ts, scal)
+        return outs[0].ravel()[:1]
+
+    try:
+        jax.jit(cheb).lower(*(t,) * 9).compile()
+        jax.jit(resid).lower(full, *(t,) * 3).compile()
+        return True
+    except Exception as e:  # noqa: BLE001 — Mosaic crashes surface here
+        print(
+            f"pallas elasticity FUSED-mode compile probe failed: "
+            f"block={op.bx}x{op.by} n={op.n} p={op.degree} zpad={op.zpad} "
+            f"core={op.core}: {type(e).__name__}: "
+            f"{str(e).splitlines()[0][:200] if str(e) else ''}; "
+            f"falling back to XLA smoother epilogues",
+            file=sys.stderr,
+        )
+        return False
+
+
 def make_elasticity_auto(
     space: FESpace,
     dtype=jnp.float32,

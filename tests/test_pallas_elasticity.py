@@ -192,3 +192,40 @@ def test_fused_vector_chebyshev_low_degree(degree):
     sa = np.asarray(u + plain.apply(b - op.apply(u)))
     sb = np.asarray(fused.smooth(u, b))
     assert np.abs(sa - sb).max() <= 5e-6 * np.abs(sa).max()
+
+
+def test_fused_vector_vcycle_preserves_convergence_counts():
+    """Full elasticity multigrid solve with the finest level running the
+    FUSED vector smoother (banded residuals + mxu-core recurrence, all
+    epilogues in-kernel) reproduces the kron model's CG count and L2 norm
+    — the model-wiring twin of the scalar
+    test_fused_vcycle_preserves_convergence_counts."""
+    import dataclasses
+
+    from portable_multigrid_tpu.models.elasticity import ElasticityMultigrid
+    from portable_multigrid_tpu.solvers.vcycle import MGLevel
+    from portable_multigrid_tpu.solvers.chebyshev import FusedVectorChebyshev
+
+    ref_model = ElasticityMultigrid(3, 2, 2, dtype=jnp.float64,
+                                    variant="kron")
+    _, ref_stats = ref_model.solve()
+
+    m2 = ElasticityMultigrid(3, 2, 2, dtype=jnp.float64, variant="kron")
+    sp = m2.spaces[-1]
+    pal = make_pallas_elasticity(sp, jnp.float64, bx=4, by=4, interpret=True,
+                                 zpad=0)
+    mxu = make_pallas_elasticity(sp, jnp.float64, bx=4, by=4, interpret=True,
+                                 zpad=0, core="mxu")
+    lv = m2.levels[-1]
+    sm = FusedVectorChebyshev(degree=lv.smoother.degree, op=pal,
+                              op_smooth=mxu, theta=lv.smoother.theta,
+                              delta=lv.smoother.delta)
+    m2.levels = m2.levels[:-1] + (
+        MGLevel(op=pal, smoother=sm, transfer=lv.transfer),
+    )
+    _, stats = m2.solve()
+    assert stats.converged
+    assert stats.iterations == ref_stats.iterations
+    assert stats.solution_l2_norm == pytest.approx(
+        ref_stats.solution_l2_norm, rel=1e-7
+    )
