@@ -72,6 +72,12 @@ class PallasElasticityOperator:
     # pinned for elasticity by the solve-count check in
     # tests/test_pallas_elasticity.py)
     core: str = static_field(default="banded")
+    # "iota" = structural x boundary mask (single-chip grids: the global
+    # first/last x planes are Dirichlet); "vector" = mask1[0] rides as a
+    # kernel operand so interior SHARD boundaries stay unmasked and the
+    # kernel emits raw partial planes for halo accumulation (the scalar
+    # slab kernel's mode — ops/pallas_laplace.py:make_pallas_slab)
+    xmask: str = static_field(default="iota")
     # 12 band arrays: (Kz, Mz, Gz, Hz, Kx, Mx, Gx, Hx, Ky, My, Gy, Hy)
     # (H = G transpose); z global mask-folded + zero-embedded to the padded
     # lane extent, x/y PARTIAL block-local assemblies (carry-completed)
@@ -189,6 +195,8 @@ class PallasElasticityOperator:
         mu, lam = self.mu, self.lam
         al = 2.0 * mu + lam
         trimmed_in = mode in ("cheb", "chebl")
+        xmask_vec = self.xmask == "vector"
+        n_xm = 1 if xmask_vec else 0
         n_facs = 6 if mode in ("residual", "cheb", "chebl") else 0
         n_scal = 0 if scal is None else 1
         n_bins = len(blocked_ins)
@@ -208,6 +216,8 @@ class PallasElasticityOperator:
             (Kz_r, Mz_r, Gz_r, Hz_r, Kx_r, Mx_r, Gx_r, Hx_r,
              Ky_r, My_r, Gy_r, Hy_r) = refs[:12]
             pos = 12
+            xm_r = refs[pos] if xmask_vec else None
+            pos += n_xm
             fac_refs = refs[pos: pos + n_facs]
             pos += n_facs
             scal_r = refs[pos] if n_scal else None
@@ -319,12 +329,15 @@ class PallasElasticityOperator:
                             lambda rows, c=c: in_tail(c, islot, i, j,
                                                       rows).wait())
 
-            xi = jax.lax.broadcasted_iota(jnp.int32, (X, 1, 1), 0)
             yi = jax.lax.broadcasted_iota(jnp.int32, (1, Y, 1), 1)
-            mvx = jnp.logical_and(
-                jnp.logical_or(i > 0, xi > 0),
-                jnp.logical_or(i < nbi - 1, xi < X - 1),
-            ).astype(dtype)
+            if xmask_vec:
+                mvx = xm_r[pl.ds(i * bxp, X), :, :]
+            else:
+                xi = jax.lax.broadcasted_iota(jnp.int32, (X, 1, 1), 0)
+                mvx = jnp.logical_and(
+                    jnp.logical_or(i > 0, xi > 0),
+                    jnp.logical_or(i < nbi - 1, xi < X - 1),
+                ).astype(dtype)
             mvy = jnp.logical_and(
                 jnp.logical_or(j > 0, yi > 0),
                 jnp.logical_or(j < nbj - 1, yi < Y - 1),
@@ -516,6 +529,9 @@ class PallasElasticityOperator:
         ] * 12
         mats = self.bands if self.core == "banded" else self.dense_mats
         operands = list(mats)
+        if xmask_vec:
+            operands.append(self.mask1[0].reshape(-1, 1, 1))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         if n_facs:
             # trimmed per-axis diagonal factors; z pad lanes hold 1.0 (the
             # trimmed state is zero there and 0/diag needs finite nonzero)
@@ -684,6 +700,38 @@ def make_pallas_elasticity(
     )
 
 
+def make_pallas_elasticity_slab(
+    space: FESpace,
+    n_loc: int,
+    dtype=jnp.float32,
+    mu: float = 1.0,
+    lam: float = 1.0,
+    bx: int = 8,
+    by: int = 8,
+    interpret: bool = False,
+    zpad: int | None = None,
+    core: str = "banded",
+) -> PallasElasticityOperator:
+    """Slab elasticity operator for shard_map: ``n_loc`` cells along sharded
+    axis 0, full y/z extents, x-masking in "vector" mode (interior shard
+    boundaries unmasked, raw partial planes out — the vector twin of
+    ops/pallas_laplace.py:make_pallas_slab).  The caller must replace
+    mask1[0]/dK1[0]/dM1[0] with the per-shard slices of the global factors
+    (parallel/elasticity.py does)."""
+    import dataclasses as _dc
+
+    from .pallas_laplace import slab_pallas_eligible
+
+    if not (interpret or slab_pallas_eligible(space, n_loc, bx, by, zpad)):
+        raise ValueError("slab not eligible for the pallas elasticity kernel")
+    base = make_pallas_elasticity(
+        space, dtype, mu=mu, lam=lam, bx=bx, by=by, interpret=interpret,
+        zpad=zpad, core=core,
+    )
+    n = space.mesh.cells_per_axis
+    return _dc.replace(base, n=(n_loc, n, n), xmask="vector")
+
+
 # AOT compile-probe memo (the Mosaic crash envelope is empirical and
 # toolchain-dependent — every candidate is probed, mirroring
 # ops/pallas_laplace.py:laplace_compile_ok)
@@ -693,7 +741,7 @@ _ELASTICITY_OK_MEMO: dict = {}
 def elasticity_compile_ok(op: PallasElasticityOperator) -> bool:
     if op.interpret:
         return True  # interpret mode never reaches Mosaic — skip the memos
-    key = (op.n, op.degree, op.bx, op.by, op.zpad, op.core)
+    key = (op.n, op.degree, op.bx, op.by, op.zpad, op.core, op.xmask)
     if key not in _ELASTICITY_OK_MEMO:
         from ..utils import probe_cache
 
@@ -730,7 +778,7 @@ def elasticity_fused_ok(op: PallasElasticityOperator) -> bool:
     apply compiled).  Memoized on disk like elasticity_compile_ok."""
     if op.interpret:
         return True
-    key = (op.n, op.degree, op.bx, op.by, op.zpad, op.core)
+    key = (op.n, op.degree, op.bx, op.by, op.zpad, op.core, op.xmask)
     memo_key = ("fused",) + key
     if memo_key not in _ELASTICITY_OK_MEMO:
         from ..utils import probe_cache

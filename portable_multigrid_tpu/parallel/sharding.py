@@ -104,16 +104,24 @@ class ShardedTransfer:
 
     axis_name: str = static_field()
     n_shards: int = static_field()
+    # the sharded GRID axis of the fields this transfer moves: 0 for scalar
+    # fields, 1 for component-major vector fields (elasticity) — halo-summing
+    # axis 0 of a vector field would exchange planes along the COMPONENT
+    # axis (the r5 sharded-elasticity multi-level bug, caught by
+    # tests/test_sharding.py::test_sharded_pallas_elasticity_solve_*)
+    halo_axis: int = static_field(default=0)
     local: Transfer = None
 
     def prolongate(self, c: jnp.ndarray) -> jnp.ndarray:
-        return halo_sum(self.local.prolongate(c), self.axis_name, self.n_shards)
+        return halo_sum(self.local.prolongate(c), self.axis_name,
+                        self.n_shards, axis=self.halo_axis)
 
     def prolongate_and_add(self, dst: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
         return dst + self.prolongate(c)
 
     def restrict(self, f: jnp.ndarray) -> jnp.ndarray:
-        return halo_sum(self.local.restrict(f), self.axis_name, self.n_shards)
+        return halo_sum(self.local.restrict(f), self.axis_name,
+                        self.n_shards, axis=self.halo_axis)
 
     def restrict_and_add(self, dst: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
         return dst + self.restrict(f)
@@ -239,6 +247,128 @@ class ShardedPallasLaplace:
         au = jnp.pad(au, ((0, 0), (0, 1), (0, 1)))
         au = halo_sum(au, self.axis_name, self.n_shards)
         m = loc.mask
+        return m * au + (1.0 - m) * u
+
+    vmult = apply
+
+
+@pytree_dataclass
+class ShardedPallasElasticity:
+    """Fused Pallas VECTOR elasticity kernel on a slab-sharded grid — the
+    vector twin of :class:`ShardedPallasLaplace`: the kernel runs with the
+    per-shard x-mask vector (interior shard boundaries unmasked), emits raw
+    partial boundary planes per component, the slab's dropped last x-plane
+    is recomputed by thin XLA contractions of the last p+1 input planes
+    through ALL 21 Kronecker chains (x factors = last row of the slab's own
+    last cell's element matrices; y/z = mask-folded global 1D matrices),
+    and ONE 3-component halo_sum completes the assembly before the
+    constraint-mask combine.  Reference parity: the same single hot kernel
+    for serial and MPI runs, generalized to the vector operator
+    (include/operators/portable_laplace_operator.h:557-719)."""
+
+    axis_name: str = static_field()
+    n_shards: int = static_field()
+    local: object = None  # PallasElasticityOperator slab (xmask="vector")
+    # thin x row vectors [p+1]: last row of the slab-partial assembled
+    # K / M / G and of G^T (= last COLUMN of G)
+    thin_kx: jnp.ndarray = None
+    thin_mx: jnp.ndarray = None
+    thin_gx: jnp.ndarray = None
+    thin_hx: jnp.ndarray = None
+    # mask-folded global 1D matrices [N, N] for the y/z contractions
+    K1m: jnp.ndarray = None
+    M1m: jnp.ndarray = None
+    G1m: jnp.ndarray = None
+    H1m: jnp.ndarray = None  # G1m transposed (trial-derivative axes)
+
+    @property
+    def inv_diag(self):
+        return self.local.inv_diag
+
+    @property
+    def mask(self):
+        return self.local.mask
+
+    def _thin_last(self, u: jnp.ndarray):
+        """Raw partial contribution of OUR slab's cells to the dropped last
+        x-plane of (A M u)_c, per component c — the vector generalization of
+        ShardedPallasLaplace's thin completion (21 chains, ~2 % of the
+        grid's work in plain XLA)."""
+        loc = self.local
+        p = loc.degree
+        mu, lam = loc.mu, loc.lam
+        hi = jax.lax.Precision.HIGHEST
+        # masked input window: last p+1 x planes, full y/z extents
+        wins = [
+            u[a, -(p + 1):]
+            * loc.mask1[0][-(p + 1):].reshape(-1, 1, 1)
+            * loc.mask1[1].reshape(1, -1, 1)
+            * loc.mask1[2].reshape(1, 1, -1)
+            for a in range(3)
+        ]
+        thin = {"K": self.thin_kx, "M": self.thin_mx,
+                "G": self.thin_gx, "T": self.thin_hx}
+        glob = {"K": self.K1m, "M": self.M1m,
+                "G": self.G1m, "T": self.H1m}
+
+        def ctr(t, W, ax):
+            out = jnp.tensordot(t, W, axes=((ax,), (1,)), precision=hi)
+            return jnp.moveaxis(out, -1, ax)
+
+        def term(w, kinds):
+            t = ctr(w, glob[kinds[2]], 2)
+            t = ctr(t, glob[kinds[1]], 1)
+            return jnp.tensordot(thin[kinds[0]], t, axes=(0, 0),
+                                 precision=hi)
+
+        def kinds(e, f):
+            if e == f:
+                return tuple("K" if a == e else "M" for a in range(3))
+            return tuple(
+                "G" if a == e else "T" if a == f else "M" for a in range(3)
+            )
+
+        lasts = []
+        for c in range(3):
+            out = None
+            for a in range(3):
+                alpha = 2.0 * mu + lam if a == c else mu
+                t = alpha * term(wins[c], kinds(a, a))
+                out = t if out is None else out + t
+            for a in range(3):
+                if a == c:
+                    continue
+                out = out + mu * term(wins[a], kinds(a, c))
+                out = out + lam * term(wins[a], kinds(c, a))
+            lasts.append(out)
+        return lasts
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        loc = self.local
+        p = loc.degree
+        u = u.reshape(loc.shape)
+        uk = u
+        if loc.zpad:
+            uk = jnp.pad(u, ((0, 0), (0, 0), (0, 0), (0, loc.zpad - 1)))
+        raws = loc._run("apply", uk)  # 3 x [N0-1, N1-1, Z] raw x-partials
+        Zr = loc.n[2] * p
+        if loc.zpad:
+            raws = [r[:, :, :Zr] for r in raws]
+        lasts = self._thin_last(u)
+        N1 = loc.grid_shape[1]
+        au = jnp.stack(
+            [
+                jnp.pad(
+                    jnp.concatenate(
+                        [raws[c], lasts[c][None, : N1 - 1, :Zr]], axis=0
+                    ),
+                    ((0, 0), (0, 1), (0, 1)),
+                )
+                for c in range(3)
+            ]
+        )
+        au = halo_sum(au, self.axis_name, self.n_shards, axis=1)
+        m = loc.mask[None]
         return m * au + (1.0 - m) * u
 
     vmult = apply

@@ -845,3 +845,86 @@ def test_2d_pencil_zpad_solve_matches_single_device():
         np.asarray(x, dtype=np.float64), np.asarray(x1),
         atol=2e-5 * scale,
     )
+
+
+def test_sharded_pallas_elasticity_apply_matches_kron():
+    """ShardedPallasElasticity (slab vector kernel, xmask=vector, thin
+    21-chain last-plane completion, one 3-component halo_sum) reproduces the
+    global kron elasticity apply to f64 roundoff — the sharpest check on
+    the vector thin completion."""
+    from portable_multigrid_tpu.ops.elasticity import make_elasticity
+    from portable_multigrid_tpu.parallel.elasticity import (
+        _build_stacked_pallas_elasticity,
+    )
+
+    sp = FESpace(HyperCubeMesh(3, 2), 4)  # n = 4 cells, p = 4
+    S, mu, lam = 2, 0.7, 1.3
+    sop_st = _build_stacked_pallas_elasticity(
+        sp, S, jnp.float64, mu, lam, interpret=True, zpad=0
+    )
+    assert sop_st is not None
+    ref = make_elasticity(sp, jnp.float64, mu=mu, lam=lam, variant="kron")
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(ref.shape)
+    n, p = sp.mesh.cells_per_axis, sp.degree
+    u_st = jnp.asarray(
+        np.stack(
+            [
+                np.stack([partition_axis0(u[c], n, p, S)[s] for c in range(3)])
+                for s in range(S)
+            ]
+        )
+    )
+
+    def f(op_st, u_s):
+        op = _unstack(op_st)
+        return op.apply(u_s[0])[None]
+
+    au_st = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=_mesh(S),
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )(sop_st, u_st)
+    au = np.stack(
+        [
+            unpartition_axis0(np.asarray(au_st)[:, c], n, p, S)
+            for c in range(3)
+        ]
+    )
+    a_ref = np.asarray(ref.apply(jnp.asarray(u)))
+    scale = np.abs(a_ref).max()
+    assert np.abs(au - a_ref).max() <= 1e-12 * scale
+
+
+def test_sharded_pallas_elasticity_solve_matches_single_device():
+    """End-to-end sharded elasticity solve on the slab Pallas vector kernel
+    (variant="pallas", interpret): solution + iteration parity vs the
+    single-device kron model."""
+    from portable_multigrid_tpu.parallel.elasticity import ShardedElasticity
+    from portable_multigrid_tpu.models.elasticity import ElasticityMultigrid
+    from portable_multigrid_tpu.parallel.sharding import (
+        ShardedPallasElasticity,
+    )
+
+    sharded = ShardedElasticity(
+        3, 4, 2, devices=jax.devices()[:2], variant="pallas",
+        pallas_interpret=True, pallas_zpad=0,
+    )
+    # the fine level must actually run the pallas path
+    from portable_multigrid_tpu.parallel.elasticity import (
+        _build_stacked_pallas_elasticity as _b,  # noqa: F401
+    )
+    assert isinstance(sharded.levels_stacked[-1].op, ShardedPallasElasticity)
+    x_s, st_s = sharded.solve()
+    single = ElasticityMultigrid(3, 4, 2)
+    x_1, st_1 = single.solve()
+    assert st_s.converged and st_1.converged
+    assert st_s.iterations == st_1.iterations
+    scale = np.abs(np.asarray(x_1)).max()
+    np.testing.assert_allclose(
+        np.asarray(x_s), np.asarray(x_1), atol=1e-9 * scale
+    )
