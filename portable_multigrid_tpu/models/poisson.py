@@ -61,15 +61,19 @@ def _build_level(
         op = make_laplace(space, dtype, variant=vc, coefficient=coefficient)
     elif variant == "auto":
         from ..ops.pallas_laplace import PallasLaplaceOperator, make_laplace_auto
+        from ..ops.pallas_laplace2d import PallasLaplace2D
 
+        pallas_types = (PallasLaplaceOperator, PallasLaplace2D)
         op = make_laplace_auto(space, dtype)
-        if isinstance(op, PallasLaplaceOperator) and not coarse:
+        if isinstance(op, pallas_types) and not coarse:
             # the Chebyshev recurrence tolerates a bf16-grade operator (the
             # residuals and CG stay on the exact banded kernel) — verified
             # to preserve convergence counts in tests/test_pallas_smoother.py
-            # (coarse levels never smooth fused, so skip the MXU setup there)
+            # (coarse levels never smooth fused, so skip the MXU setup there).
+            # In 2D the one banded operator serves every role, so the "mxu"
+            # request returns the same kernel (ops/pallas_laplace2d.py).
             smoother_op = make_laplace_auto(space, dtype, core="mxu")
-            if not isinstance(smoother_op, PallasLaplaceOperator):
+            if not isinstance(smoother_op, pallas_types):
                 smoother_op = None
     else:
         op = make_laplace(space, dtype, variant=variant)

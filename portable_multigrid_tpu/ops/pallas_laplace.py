@@ -1238,7 +1238,19 @@ def make_laplace_auto(
     round-3 measurements: the asymmetric 16x8 block compiles there and wins
     for the MXU family (r=7 mxu apply 7.27 ms vs 7.9) while the banded
     core is fastest at 8x8 (11.7 vs 12.6 at 16x8), so the candidate list is
-    core-dependent."""
+    core-dependent.
+
+    dim == 2 spaces dispatch to the 2D fused family (ops/pallas_laplace2d)
+    — one banded operator serves every role there, so ``core`` requests for
+    an MXU smoother twin return the same banded kernel."""
+    if space.dim == 2:
+        from .pallas_laplace2d import make_laplace2d_candidate
+
+        op = make_laplace2d_candidate(space, dtype)
+        if op is not None:
+            return op
+        return make_laplace(space, dtype, variant=best_xla_variant(space),
+                            precision=precision)
     if core == "banded" and space.degree in _BANDED_CRASH_DEGREES:
         # the exact role cannot run the banded kernel at this degree — try
         # the compile-probed mxu3 (f32-faithful) rescue, then fall through

@@ -173,14 +173,15 @@ class TrimmedTransfer:
     base: Transfer = None
 
     def _pad(self, t, zpad):
+        # the lane axis is the LAST grid axis (z in 3D, y in 2D)
         if zpad:
-            t = t[:, :, : t.shape[2] - zpad]
+            t = t[..., : t.shape[-1] - zpad]
         return jnp.pad(t, ((0, 1),) * t.ndim)
 
     def _trim(self, t, zpad):
         t = t[tuple(slice(0, s - 1) for s in t.shape)]
         if zpad:
-            t = jnp.pad(t, ((0, 0), (0, 0), (0, zpad)))
+            t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, zpad)])
         return t
 
     def restrict(self, f: jnp.ndarray) -> jnp.ndarray:

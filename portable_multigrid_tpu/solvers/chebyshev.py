@@ -229,35 +229,42 @@ class FusedChebyshev:
         return getattr(self.op, "zpad", 0)
 
     def _trim(self, b):
+        """Full grid -> trimmed (lane-padded) state, any dim (the lane axis
+        is the LAST grid axis: z in 3D, y in 2D)."""
         g = self.op.grid_shape
-        p = self.op.degree
-        Z = self.op.n[2] * p
-        bt = b.reshape(g)[: g[0] - 1, : g[1] - 1, :Z]
+        bt = b.reshape(g)[tuple(slice(0, s - 1) for s in g)]
         if self._zpad:
-            bt = jnp.pad(bt, ((0, 0), (0, 0), (0, self._zpad)))
+            pad = [(0, 0)] * (len(g) - 1) + [(0, self._zpad)]
+            bt = jnp.pad(bt, pad)
         return bt
 
     def _pad_full(self, t):
         """Trimmed (possibly lane-padded) state -> zero-padded full grid."""
         if self._zpad:
-            t = t[:, :, : self.op.grid_shape[2] - 1]
-        return jnp.pad(t, ((0, 1), (0, 1), (0, 1)))
+            t = t[..., : self.op.grid_shape[-1] - 1]
+        return jnp.pad(t, ((0, 1),) * t.ndim)
 
     def _diag_trimmed(self):
         op = self.op
         dK, dM = op.dK1, op.dM1
         g = op.grid_shape
+        dim = len(g)
 
         def x(v, d):
             v = v[: g[d] - 1]
-            if d == 2 and self._zpad:
+            if d == dim - 1 and self._zpad:
                 # pad lanes hold 1.0 (state is zero there; 0/1 stays zero)
                 v = jnp.pad(v, (0, self._zpad), constant_values=1.0)
-            return v.reshape([-1 if a == d else 1 for a in range(3)])
+            return v.reshape([-1 if a == d else 1 for a in range(dim)])
 
-        return x(dK[0], 0) * x(dM[1], 1) * x(dM[2], 2) + x(dM[0], 0) * (
-            x(dK[1], 1) * x(dM[2], 2) + x(dM[1], 1) * x(dK[2], 2)
-        )
+        total = None
+        for k in range(dim):
+            term = None
+            for d in range(dim):
+                f = x(dK[d] if d == k else dM[d], d)
+                term = f if term is None else term * f
+            total = term if total is None else total + term
+        return total
 
     def _x_from_rhs(self, bt):
         """Full recurrence from the rhs (x0 = d0 = bt / (theta diag)).
@@ -310,7 +317,7 @@ class FusedChebyshev:
         u = u.reshape(self.op.grid_shape)
         uk, rk = u, rhs.reshape(self.op.grid_shape)
         if self._zpad:
-            zp = ((0, 0), (0, 0), (0, self._zpad - 1))
+            zp = [(0, 0)] * (u.ndim - 1) + [(0, self._zpad - 1)]
             uk, rk = jnp.pad(uk, zp), jnp.pad(rk, zp)
         r0, d0 = self.op._run("residual", uk, (rk,), scal)
         x = self._steps(r0, d0, d0)
@@ -381,7 +388,7 @@ class FusedChebyshev:
         scal = jnp.stack([self.theta, self.theta]).astype(jnp.float32)
         uk, rk = u, rhs.reshape(self.op.grid_shape)
         if self._zpad:
-            zp = ((0, 0), (0, 0), (0, self._zpad - 1))
+            zp = [(0, 0)] * (u.ndim - 1) + [(0, self._zpad - 1)]
             uk, rk = jnp.pad(uk, zp), jnp.pad(rk, zp)
         r0, _ = self.op._run("residual", uk, (rk,), scal)
         return self._pad_full(r0)

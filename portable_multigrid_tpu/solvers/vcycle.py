@@ -96,10 +96,11 @@ class VCycle:
         zpad = getattr(self.levels[-1].op, "zpad", 0)
         st = src.reshape(g)[tuple(slice(0, s - 1) for s in g)]
         if zpad:
-            st = jnp.pad(st, ((0, 0), (0, 0), (0, zpad)))
+            # the lane axis is the LAST grid axis (z in 3D, y in 2D)
+            st = jnp.pad(st, [(0, 0)] * (len(g) - 1) + [(0, zpad)])
         out = self._cycle(len(self.levels) - 1, st)
         if zpad:
-            out = out[:, :, : g[2] - 1]
+            out = out[..., : g[-1] - 1]
         return jnp.pad(out, ((0, 1),) * len(g))
 
 
